@@ -1,0 +1,125 @@
+"""X9 + X10 — reading-order reconstruction, media anchoring, reassembly.
+
+All window functions share the doc_id hash partitioning introduced by
+the stats window (operators/features.py), so none of them adds a
+shuffle — only per-partition sorts. The final groupBy(doc_id) likewise
+reuses the partitioning.
+
+Ordering semantics (must mirror rules_np.denoise_doc exactly):
+
+- surviving text spans rank by (col, line, x0, y0, input_pos) — the
+  reading order (columns left→right, lines top→bottom, words
+  left→right, input position as the final total-order tiebreak);
+- each media span anchors to the nearest PRECEDING surviving text span
+  in input (array) order and is emitted immediately after it (media
+  sharing an anchor keep input order); media before any surviving text
+  go first;
+- offsets renumber contiguously from 0.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.params import Params
+
+_BIG = 2_147_483_647  # null-ordering sentinel for media rows
+
+OUT_SPAN_DDL = "kind string, text string, media_ref string, offset int"
+
+
+def with_survival(df: DataFrame, params: Params | None = None) -> DataFrame:
+    """Decide keep/drop/rewrite per span (X10 mode flag)."""
+    p = params or Params()
+    is_text = F.col("kind") == "text"
+    if p.mode == "rewrite":
+        only_wconf = (
+            F.col("parse_ok")
+            & F.col("f_wconf")
+            & ~(
+                F.col("f_nonalpha")
+                | F.col("f_repeat")
+                | F.col("f_toolong")
+                | F.col("f_geom")
+                | F.col("f_margin")
+                | F.col("f_dict_miss")
+            )
+        )
+        rewritten = F.col("is_noise") & only_wconf & F.col("f_dict_hit")
+    else:
+        rewritten = F.lit(False)
+    df = df.withColumn("rewritten", F.coalesce(rewritten, F.lit(False)))
+    drop = is_text & F.col("is_noise") & ~F.col("rewritten")
+    df = df.withColumn(
+        "survives", F.col("kind").isNotNull() & ~F.coalesce(drop, F.lit(False))
+    )
+    # rewrite substitutes the normalized token into the payload head
+    emitted = F.when(
+        F.col("rewritten"),
+        F.concat(F.col("norm_token"), F.expr("substr(text, instr(text, ';'))")),
+    ).otherwise(F.col("text"))
+    return df.withColumn("emitted_text", F.when(is_text, emitted))
+
+
+def with_output_order(df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Reading-order rank + media anchor + final contiguous position."""
+    is_surv_text = (F.col("kind") == "text") & F.col("survives")
+
+    # 1-based reading-order rank among surviving text spans, via a
+    # running conditional count with survivors-first ordering.
+    w_read = (
+        Window.partitionBy(doc_col)
+        .orderBy(
+            F.when(is_surv_text, 0).otherwise(1),
+            F.coalesce(F.col("col_i"), F.lit(_BIG)),
+            F.coalesce(F.col("line_i"), F.lit(_BIG)),
+            F.coalesce(F.col("x0"), F.lit(_BIG)),
+            F.coalesce(F.col("y0"), F.lit(_BIG)),
+            F.col("pos"),
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn(
+        "text_rank", F.sum(F.when(is_surv_text, 1).otherwise(0)).over(w_read)
+    )
+
+    # nearest preceding surviving text span, in input order
+    w_pos = (
+        Window.partitionBy(doc_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn(
+        "anchor_rank",
+        F.last(F.when(is_surv_text, F.col("text_rank")), ignorenulls=True).over(w_pos),
+    )
+
+    k1 = F.coalesce(F.col("anchor_rank"), F.lit(-1))
+    k2 = F.when(F.col("kind") == "text", 0).otherwise(1)
+    w_final = (
+        Window.partitionBy(doc_col)
+        .orderBy(k1, k2, F.col("pos"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = df.withColumn(
+        "final_pos",
+        (F.sum(F.when(F.col("survives"), 1).otherwise(0)).over(w_final) - 1).cast("int"),
+    )
+    return df
+
+
+def reassemble(df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
+    """Collect surviving spans back into the ordered spans array."""
+    span = F.struct(
+        F.col("kind").alias("kind"),
+        F.col("emitted_text").alias("text"),
+        F.col("media_ref").alias("media_ref"),
+        F.col("final_pos").alias("offset"),
+    )
+    keyed = F.when(F.col("survives"), F.struct(F.col("final_pos").alias("p"), span.alias("s")))
+    return (
+        df.groupBy(doc_col)
+        .agg(F.array_sort(F.collect_list(keyed)).alias("keyed"))
+        .select(doc_col, F.expr("transform(keyed, x -> x.s)").alias("spans"))
+    )

@@ -1,0 +1,478 @@
+"""Large-scale training-data pipeline operators over the driver tables.
+
+Deduplication (exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine), similarity search (brute-force + LSH-bucketed ANN),
+and text analysis (language-ID, quality score, token counting,
+fingerprinting). Each is engine-portable by construction: the hash
+primitive is md5 (identical hex output in Spark and DuckDB), so
+signatures, buckets, and candidate pairs agree bit-for-bit across
+engines — the DuckDB oracle verifies values, not just shapes.
+
+Scale notes (100 TB design):
+- shingle explosion is bounded per doc; the minhash group-by is a
+  single shuffle keyed (doc_id, seed) with map-side partial min;
+- candidate-pair generation joins on (band, bucket) — the classic LSH
+  bucket join — so no all-pairs product ever materializes;
+- embedding ops keep the dot product inside JVM higher-order
+  functions (zip_with/aggregate), no Python in the hot path;
+- the brute-force kNN broadcasts the (small) query side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.queries.util import load, register
+
+# ---------------------------------------------------------------- dedup --
+
+@register(
+    "dedup_exact",
+    """SELECT md5(lower(trim(text))) AS text_hash,
+              min(doc_id) AS keep_doc, count(*) AS n_dups
+       FROM documents WHERE text IS NOT NULL
+       GROUP BY md5(lower(trim(text)))""",
+)
+def dedup_exact(spark, sf):
+    """Exact dedup: normalize → md5 → hash-groupBy, keep min doc_id."""
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .withColumn("text_hash", F.md5(F.lower(F.trim("text"))))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_doc"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+N_SEEDS, BAND_ROWS = 16, 2  # 8 bands x 2 rows
+
+_SHINGLE_SQL = """
+    SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
+         (SELECT unnest(generate_series(1, 10000)) AS i)
+    WHERE i <= len(t) - 2
+"""
+
+_MINHASH_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+mh AS (
+    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
+    FROM sh, (SELECT unnest(generate_series(0, {N_SEEDS - 1})) AS seed)
+    GROUP BY doc_id, seed
+),
+bands AS (
+    SELECT doc_id, seed // {BAND_ROWS} AS band,
+           md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
+    FROM mh GROUP BY doc_id, seed // {BAND_ROWS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+"""
+
+
+def _shingles(spark, sf, n: int = 3):
+    """Distinct word n-gram shingles per document (JVM HOFs only)."""
+    toks = F.split("text", " ")
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.size(toks) >= n))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(split(text,' ')) - {n - 1}),"
+                        f" i -> concat_ws(' ', slice(split(text,' '), i, {n})))"
+                    )
+                )
+            ).alias("shingle"),
+        )
+    )
+
+
+@register("dedup_minhash_lsh", _MINHASH_SQL)
+def dedup_minhash_lsh(spark, sf):
+    """MinHash+LSH near-dup candidates: shingle → 16 md5 minhashes →
+    2-row bands → bucket join. md5 keeps signatures engine-portable."""
+    sh = _shingles(spark, sf, 3)
+    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
+    mh = (
+        sh.join(F.broadcast(seeds))
+        .select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("mh"))
+    )
+    bands = (
+        mh.withColumn("band", F.expr(f"seed div {BAND_ROWS}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
+                    "|",
+                )
+            ).alias("bucket")
+        )
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+_SIMHASH_BITS = 16
+_simhash_cols_sql = ",\n".join(
+    f"CASE WHEN sum(CASE WHEN substr(h, {j + 1}, 1) >= '8' THEN 1 ELSE -1 END) > 0"
+    f" THEN '1' ELSE '0' END AS b{j}"
+    for j in range(_SIMHASH_BITS)
+)
+_SIMHASH_SQL = f"""
+WITH tok AS (
+    SELECT doc_id, md5(unnest(string_split(text, ' '))) AS h
+    FROM documents WHERE text IS NOT NULL
+),
+agg AS (SELECT doc_id, {_simhash_cols_sql} FROM tok GROUP BY doc_id)
+SELECT doc_id, {"||".join(f"b{j}" for j in range(_SIMHASH_BITS))} AS simhash
+FROM agg
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark, sf):
+    """SimHash: per-token md5, signed bit-vote per position, 16-bit
+    signature string. Identical md5 → identical signatures cross-engine."""
+    tok = (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .withColumn("h", F.md5("t"))
+    )
+    votes = [
+        F.when(
+            F.sum(F.when(F.substring("h", j + 1, 1) >= "8", 1).otherwise(-1)) > 0, "1"
+        )
+        .otherwise("0")
+        .alias(f"b{j}")
+        for j in range(_SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("doc_id").agg(*votes)
+    return agg.select(
+        "doc_id", F.concat(*[F.col(f"b{j}") for j in range(_SIMHASH_BITS)]).alias("simhash")
+    )
+
+
+_JACCARD_SQL = f"""
+WITH sh AS ({_SHINGLE_SQL}),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
+"""
+
+
+@register("dedup_ngram_jaccard", _JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf):
+    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle —
+    the verification stage behind MinHash candidates."""
+    sh = _shingles(spark, sf, 3)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jac",
+            F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")),
+        )
+        .filter(F.col("jac") >= 0.2)
+    )
+    return j.select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
+
+
+_COSINE_PAIR_SQL = """
+WITH pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           a.embedding AS ea, b.embedding AS eb
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+),
+vals AS (
+    SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS xa,
+           CAST(unnest(eb) AS DOUBLE) AS xb
+    FROM pairs
+)
+SELECT vec_a, vec_b,
+       round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cosine
+FROM vals GROUP BY vec_a, vec_b
+"""
+
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+
+def _cos_expr(a: str, b: str):
+    dot = _DOT.format(a=a, b=b)
+    na = _DOT.format(a=a, b=a)
+    nb = _DOT.format(a=b, b=b)
+    return F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+
+
+@register("dedup_embed_cosine", _COSINE_PAIR_SQL)
+def dedup_embed_cosine(spark, sf):
+    """Embedding near-dup: label-blocked pairwise cosine, JVM-side
+    zip_with/aggregate dot products (no Python in the hot path)."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_cos_expr("a.v", "b.v"), 4).alias("cosine"),
+        )
+    )
+
+
+# ------------------------------------------------------------ similarity --
+
+_KNN_SQL = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+pairs AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           q.embedding AS eq, e.embedding AS ee
+    FROM q JOIN embeddings e ON e.vec_id <> q.vec_id
+),
+vals AS (
+    SELECT query_id, neighbor_id, CAST(unnest(eq) AS DOUBLE) AS xa,
+           CAST(unnest(ee) AS DOUBLE) AS xb
+    FROM pairs
+),
+cos AS (
+    SELECT query_id, neighbor_id,
+           round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cosine
+    FROM vals GROUP BY query_id, neighbor_id
+)
+SELECT query_id, neighbor_id, cosine, rnk FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM cos) WHERE rnk <= 3
+"""
+
+
+@register("knn_bruteforce", _KNN_SQL)
+def knn_bruteforce(spark, sf):
+    """Brute-force cosine top-k: broadcast the query side, rank on the
+    ROUNDED score (cross-engine-stable ordering) with id tiebreak."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    q = e.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_cos_expr("qv", "v"), 4).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+_ANN_BUCKET = "".join(
+    [
+        "CASE WHEN embedding[%d] >= 0 THEN '1' ELSE '0' END || " % (j + 1)
+        for j in range(8)
+    ]
+)[:-4]
+
+_ANN_SQL = f"""
+WITH bk AS (
+    SELECT vec_id, embedding, {_ANN_BUCKET} AS bucket FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
+    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+vals AS (
+    SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS xa, CAST(unnest(eb) AS DOUBLE) AS xb
+    FROM pairs
+)
+SELECT vec_a, vec_b,
+       round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cosine
+FROM vals GROUP BY vec_a, vec_b
+"""
+
+
+@register("ann_lsh_bucketed", _ANN_SQL)
+def ann_lsh_bucketed(spark, sf):
+    """LSH-bucketed ANN scale path: sign-pattern bucket (axis-aligned
+    hyperplanes on the first 8 dims) → cosine only within buckets.
+    At 100 TB the bucket join replaces the all-pairs product."""
+    sign_bits = [
+        F.when(F.element_at("embedding", j + 1) >= 0, "1").otherwise("0") for j in range(8)
+    ]
+    e = load(spark, sf, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
+        F.concat(*sign_bits).alias("bucket"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(_cos_expr("a.v", "b.v"), 4).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------- text analysis --
+
+@register(
+    "lang_id",
+    """SELECT doc_id, lang,
+              round(CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
+                    / length(text), 4) AS e_ratio,
+              CASE WHEN CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE)
+                        / length(text) > 0.08 THEN 'en' ELSE 'other' END AS pred_lang
+       FROM documents WHERE text IS NOT NULL AND length(text) > 0""",
+)
+def lang_id(spark, sf):
+    """Language-ID n-gram heuristic (character-frequency score)."""
+    n_e = F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
+    ratio = n_e.cast("double") / F.length("text")
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(ratio, 4).alias("e_ratio"),
+            F.when(ratio > 0.08, "en").otherwise("other").alias("pred_lang"),
+        )
+    )
+
+
+@register(
+    "quality_score",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_tokens,
+              round(1.0 - CAST(length(regexp_replace(text, '[^\\pL ]', '', 'g')) AS DOUBLE)
+                          / length(text), 4) AS punct_ratio,
+              round(0.5 * least(len(string_split(text, ' ')) / 100.0, 1.0)
+                    + 0.5 * (CAST(length(regexp_replace(text, '[^\\pL ]', '', 'g')) AS DOUBLE)
+                             / length(text)), 4) AS quality
+       FROM documents WHERE text IS NOT NULL AND length(text) > 0""",
+)
+def quality_score(spark, sf):
+    """Quality scoring: length + punctuation-ratio heuristics."""
+    keep = F.length(F.regexp_replace("text", r"[^\p{L} ]", ""))
+    punct_ratio = F.lit(1.0) - keep.cast("double") / F.length("text")
+    n_tokens = F.size(F.split("text", " "))
+    quality = 0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.5 * (
+        keep.cast("double") / F.length("text")
+    )
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            F.round(punct_ratio, 4).alias("punct_ratio"),
+            F.round(quality, 4).alias("quality"),
+        )
+    )
+
+
+@register(
+    "token_count",
+    """SELECT doc_id,
+              len(string_split(text, ' ')) AS n_ws_tokens,
+              len(list_filter(string_split(text, ' '),
+                              x -> regexp_full_match(x, '[a-zA-Z]+'))) AS n_alpha_tokens,
+              CAST(list_sum(list_transform(string_split(text, ' '),
+                                           x -> ceil(length(x) / 4.0))) AS BIGINT)
+                  AS n_subtokens
+       FROM documents WHERE text IS NOT NULL""",
+)
+def token_count(spark, sf):
+    """Token counting: whitespace tokens + alpha tokens + a BPE-ish
+    subtoken estimate (ceil(len/4) pieces per token)."""
+    toks = F.split("text", " ")
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.size(toks).alias("n_ws_tokens"),
+            F.expr("size(filter(split(text, ' '), x -> x rlike '^[a-zA-Z]+$'))").alias(
+                "n_alpha_tokens"
+            ),
+            F.expr(
+                "cast(aggregate(transform(split(text, ' '), x -> ceil(length(x) / 4.0)),"
+                " 0D, (acc, x) -> acc + x) AS bigint)"
+            ).alias("n_subtokens"),
+        )
+    )
+
+
+_FPRINT_SQL = """
+WITH sh AS (
+    SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5),
+         (SELECT unnest(generate_series(1, 10000)) AS i)
+    WHERE i <= len(t) - 4
+)
+SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
+"""
+
+
+@register("doc_fingerprint", _FPRINT_SQL)
+def doc_fingerprint(spark, sf):
+    """Document fingerprint: winnowing-style min-hash over 5-gram
+    shingles (rolling window via JVM transform/slice)."""
+    sh = _shingles(spark, sf, 5)
+    return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))

@@ -1,0 +1,98 @@
+"""Operator queries vs DuckDB oracle — mirrors the driver's check
+(row count + schema-ish + order-insensitive value comparison) at
+sf0.001 for speed; the driver runs the same comparison at sf0.01.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from hocr_de_noising_spark.queries import QUERIES
+from hocr_de_noising_spark.queries.util import TABLES
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.001")
+
+SQL_KEYS = sorted(k for k, v in QUERIES.items() if v["sql"] is not None)
+ROWS_ONLY_KEYS = sorted(k for k, v in QUERIES.items() if v["sql"] is None)
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.copy()
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[us]")
+        elif pd.api.types.is_bool_dtype(s):
+            df[c] = s.astype("boolean")
+        elif pd.api.types.is_integer_dtype(s):
+            df[c] = s.astype("Int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(6)
+        elif s.dtype == object:
+            df[c] = s.astype("string")
+    return df.sort_values(by=list(df.columns), ignore_index=True, na_position="first")
+
+
+def assert_frames_match(sdf: pd.DataFrame, ddf: pd.DataFrame, name: str):
+    assert len(sdf) == len(ddf), f"{name}: row count {len(sdf)} vs {len(ddf)}"
+    a, b = _normalize(sdf), _normalize(ddf)
+    assert list(a.columns) == list(b.columns), f"{name}: columns {list(a.columns)} vs {list(b.columns)}"
+    for c in a.columns:
+        if pd.api.types.is_float_dtype(a[c]):
+            av, bv = a[c].to_numpy(dtype=float), b[c].to_numpy(dtype=float)
+            ok = np.isclose(av, bv, atol=1e-8, rtol=0, equal_nan=True)
+            assert ok.all(), f"{name}.{c}: {int((~ok).sum())} float mismatches, first: {av[~ok][:3]} vs {bv[~ok][:3]}"
+        else:
+            eq = (a[c].fillna("\0NULL") == b[c].fillna("\0NULL")) if a[c].dtype != "boolean" else (
+                a[c].astype("object").fillna("\0NULL") == b[c].astype("object").fillna("\0NULL")
+            )
+            assert eq.all(), f"{name}.{c}: {int((~eq).sum())} mismatches, first: {a[c][~eq][:3].tolist()} vs {b[c][~eq][:3].tolist()}"
+
+
+@pytest.mark.parametrize("name", SQL_KEYS)
+def test_query_vs_oracle(spark, duck, name):
+    spec = QUERIES[name]
+    sdf = spec["fn"](spark, SF_DIR).toPandas()
+    ddf = duck.execute(spec["sql"]).df()
+    assert_frames_match(sdf, ddf, name)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY_KEYS)
+def test_rows_only_queries_run(spark, name):
+    df = QUERIES[name]["fn"](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_smoke(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) >= {"l_returnflag", "sum_qty", "count_order"}
+
+
+def test_contract_shapes():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 40

@@ -1,0 +1,110 @@
+"""Benchmark harness — one JSON line on stdout (driver contract).
+
+Runs the flagship de-noising pipeline on the 50k-doc interleaved-spans
+bench corpus (FIXTURES.md §2 incl. 3 pathological 100k-span skew
+plants) plus headline relational/trainprep queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), on
+local[$SPARK_GRAFT_CPUS] (default 32).
+
+Output: {"metric": ..., "value": <total sec>, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "denoise_docs_per_sec": ...}
+
+Scaling-efficiency evidence across two parallelism levels is produced
+by scripts/bench_scaling.py (fresh JVM per level) into
+BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hocr_de_noising_spark.fixtures.spans import SIZES, write_corpus  # noqa: E402
+from hocr_de_noising_spark.operators.pipeline import (  # noqa: E402
+    denoise_exploded,
+    denoise_fused,
+)
+from hocr_de_noising_spark.queries import QUERIES  # noqa: E402
+from hocr_de_noising_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+CACHE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "fixtures", "cache"
+)
+# representative headline queries across operator families
+HEADLINE = [
+    "tpch_q1",
+    "join_inner",
+    "join_asof",
+    "agg_percentile",
+    "window_running_sum",
+    "geom_outliers",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_bruteforce",
+    "stream_session",
+]
+
+
+def _noop_write(df):
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    t_gen = time.time()
+    bench_dir = write_corpus(CACHE_DIR, "bench")  # cached after first run
+    gen_sec = time.time() - t_gen
+
+    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    docs = spark.read.parquet(os.path.join(bench_dir, "docs.parquet"))
+    lexicon = spark.read.parquet(os.path.join(bench_dir, "lexicon.parquet"))
+    lex_tokens = [r.token for r in lexicon.select("token").collect()]
+    n_docs = SIZES["bench"]
+
+    # JVM/codegen warmup
+    _noop_write(docs.limit(100))
+
+    timings: dict[str, float] = {}
+
+    t0 = time.time()
+    _noop_write(denoise_fused(docs, lex_tokens))
+    timings["denoise_fused"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    _noop_write(denoise_exploded(docs, lexicon))
+    timings["denoise_exploded"] = round(time.time() - t0, 3)
+
+    for name in HEADLINE:
+        t0 = time.time()
+        _noop_write(QUERIES[name]["fn"](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    best_denoise = min(timings["denoise_fused"], timings["denoise_exploded"])
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "hocr-denoise+headline-queries wall clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cores": CPUS,
+                "denoise_docs_per_sec": round(n_docs / best_denoise, 1),
+                "bench_corpus_docs": n_docs,
+                "corpus_gen_cached_sec": round(gen_sec, 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

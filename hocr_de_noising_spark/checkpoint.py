@@ -1,0 +1,210 @@
+"""S5/S7 — resumable checkpoint manifest with lineage + metrics.
+
+The production design targets an Iceberg manifest table (snapshot
+lineage per bucket); this sandbox has no Iceberg runtime jar, so the
+manifest is a Parquet directory with atomic temp+rename commits — the
+protocol (bucket rows, params-hash lineage, anti-join resume) is
+identical (SURVEY.md §7.3 item 3).
+
+Bucket = pmod(xxhash64(doc_id, salt), n_buckets) — the salted doc_id
+hash partitioning from the north rule. The job loop processes bucket
+GROUPS (n_groups sub-jobs) for resumability granularity; each group
+commit appends one manifest parquet file atomically, so a killed run
+resumes by skipping fully-committed groups and reprocessing at most
+one partial group (whose output dir is overwritten idempotently).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.params import Params, params_hash
+
+MANIFEST_SCHEMA = pa.schema(
+    [
+        ("run_id", pa.string()),
+        ("bucket", pa.int32()),
+        ("n_docs", pa.int64()),
+        ("n_spans_in", pa.int64()),
+        ("n_spans_out", pa.int64()),
+        ("n_noise_dropped", pa.int64()),
+        ("denoise_rate", pa.float64()),
+        ("input_lineage", pa.string()),
+        ("params_hash", pa.string()),
+        ("status", pa.string()),
+        ("committed_at", pa.timestamp("us")),
+    ]
+)
+
+
+def bucket_col(doc_col: str, params: Params):
+    """J5 salted bucket: pmod(xxhash64(doc_id, salt), n_buckets)."""
+    return F.pmod(
+        F.xxhash64(F.col(doc_col), F.lit(params.salt)), F.lit(params.n_buckets)
+    ).cast("int")
+
+
+class ManifestCheckpoint:
+    """Parquet-backed manifest with atomic appends and resume reads."""
+
+    def __init__(self, manifest_dir: str):
+        self.dir = manifest_dir
+        os.makedirs(manifest_dir, exist_ok=True)
+
+    def append_rows(self, rows: list[dict]) -> None:
+        """Atomically commit a batch of bucket rows (temp + rename)."""
+        if not rows:
+            return
+        cols = {f.name: [r[f.name] for r in rows] for f in MANIFEST_SCHEMA}
+        table = pa.Table.from_pydict(cols, schema=MANIFEST_SCHEMA)
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.parquet")
+        final = os.path.join(self.dir, f"commit-{int(time.time()*1e6)}-{uuid.uuid4().hex[:8]}.parquet")
+        pq.write_table(table, tmp)
+        os.rename(tmp, final)
+
+    def read(self, spark: SparkSession) -> DataFrame | None:
+        files = [f for f in os.listdir(self.dir) if f.endswith(".parquet")]
+        if not files:
+            return None
+        return spark.read.schema(
+            "run_id string, bucket int, n_docs long, n_spans_in long, "
+            "n_spans_out long, n_noise_dropped long, denoise_rate double, "
+            "input_lineage string, params_hash string, status string, "
+            "committed_at timestamp"
+        ).parquet(os.path.join(self.dir, "*.parquet"))
+
+    def completed_buckets(self, spark: SparkSession, run_id: str, p_hash: str) -> set[int]:
+        """S7 resume source: buckets already done for this run lineage."""
+        df = self.read(spark)
+        if df is None:
+            return set()
+        rows = (
+            df.filter(
+                (F.col("run_id") == run_id)
+                & (F.col("params_hash") == p_hash)
+                & (F.col("status") == "done")
+            )
+            .select("bucket")
+            .collect()
+        )
+        return {r.bucket for r in rows}
+
+
+def run_denoise_job(
+    spark: SparkSession,
+    docs: DataFrame,
+    lexicon_df: DataFrame,
+    out_dir: str,
+    manifest_dir: str,
+    params: Params | None = None,
+    run_id: str = "run-0",
+    n_groups: int = 8,
+    input_lineage: str = "",
+    variant: str = "hybrid",
+    fail_after_group: int | None = None,
+) -> dict:
+    """The resumable batch job (SURVEY.md §3.2 bucket loop).
+
+    Processes n_groups bucket groups; skips groups whose buckets are all
+    committed 'done' in the manifest. ``fail_after_group`` injects a
+    crash for the resume test. Returns summary metrics.
+    """
+    from hocr_de_noising_spark.operators.pipeline import (
+        denoise_exploded,
+        denoise_fused,
+    )
+
+    p = params or Params()
+    ph = params_hash(p)
+    ckpt = ManifestCheckpoint(manifest_dir)
+    done = ckpt.completed_buckets(spark, run_id, ph)
+    lex_tokens = None
+    if variant in ("fused", "hybrid"):
+        lex_tokens = [r.token for r in lexicon_df.select("token").distinct().collect()]
+
+    docs_b = docs.withColumn("bucket", bucket_col("doc_id", p))
+    group_of = F.col("bucket") % n_groups
+    summary = {"groups_run": 0, "groups_skipped": 0, "n_docs": 0}
+
+    for g in range(n_groups):
+        group_buckets = [b for b in range(p.n_buckets) if b % n_groups == g]
+        if all(b in done for b in group_buckets):
+            summary["groups_skipped"] += 1
+            continue
+
+        part = docs_b.filter(group_of == g)
+        if variant == "fused":
+            out = denoise_fused(part.drop("bucket"), lex_tokens, p)
+        elif variant == "exploded":
+            out = denoise_exploded(part.drop("bucket"), lexicon_df, p)
+        else:  # hybrid: python path for normal docs, JVM path for giants
+            small = part.filter(F.size("spans") <= p.max_spans_per_doc).drop("bucket")
+            big = part.filter(F.size("spans") > p.max_spans_per_doc).drop("bucket")
+            out = denoise_fused(small, lex_tokens, p).unionByName(
+                denoise_exploded(big, lexicon_df, p)
+            )
+
+        out = out.withColumn("bucket", bucket_col("doc_id", p))
+        group_dir = os.path.join(out_dir, f"group={g}")
+        (
+            out.repartition(F.col("bucket"))
+            .sortWithinPartitions("bucket", "doc_id")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(group_dir)
+        )
+
+        # per-bucket metrics from the written output + the input slice
+        in_stats = {
+            r.bucket: r
+            for r in part.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.size("spans")).alias("n_spans_in"),
+            )
+            .collect()
+        }
+        out_stats = {
+            r.bucket: r
+            for r in spark.read.parquet(group_dir)
+            .groupBy("bucket")
+            .agg(F.sum(F.size("spans")).alias("n_spans_out"))
+            .collect()
+        }
+        now = int(time.time() * 1e6)
+        rows = []
+        for b in group_buckets:
+            i = in_stats.get(b)
+            o = out_stats.get(b)
+            n_in = int(i.n_spans_in) if i else 0
+            n_out = int(o.n_spans_out) if o else 0
+            rows.append(
+                {
+                    "run_id": run_id,
+                    "bucket": b,
+                    "n_docs": int(i.n_docs) if i else 0,
+                    "n_spans_in": n_in,
+                    "n_spans_out": n_out,
+                    "n_noise_dropped": n_in - n_out,
+                    "denoise_rate": (n_in - n_out) / n_in if n_in else 0.0,
+                    "input_lineage": input_lineage,
+                    "params_hash": ph,
+                    "status": "done",
+                    "committed_at": now,
+                }
+            )
+        ckpt.append_rows(rows)
+        summary["groups_run"] += 1
+        summary["n_docs"] += sum(int(i.n_docs) for i in in_stats.values())
+
+        if fail_after_group is not None and g >= fail_after_group:
+            raise RuntimeError(f"injected failure after group {g}")
+
+    return summary

@@ -295,7 +295,10 @@ def write_corpus(out_dir: str, size: str = "unit", seed: int = 42, params: Param
     os.makedirs(d, exist_ok=True)
     tables = gen_corpus(n_docs, seed=seed, skew=skew, params=params, with_golden=with_golden)
     for name, tbl in tables.items():
-        pq.write_table(tbl, os.path.join(d, f"{name}.parquet"))
+        # small row groups keep the file splittable: Spark's scan stage
+        # can then parallelize by row-group byte ranges (one giant row
+        # group would serialize the whole scan into a single task)
+        pq.write_table(tbl, os.path.join(d, f"{name}.parquet"), row_group_size=500)
     with open(marker, "w") as f:
         f.write("ok")
     return d

@@ -1,0 +1,83 @@
+"""S5/S7 — resumable manifest job: kill, restart, identical output
+(SURVEY.md §5.5; BASELINE.md resume-overhead target).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.checkpoint import ManifestCheckpoint, run_denoise_job
+from hocr_de_noising_spark.params import Params, params_hash
+
+
+@pytest.fixture()
+def loaded(spark, unit_dir):
+    docs = spark.read.parquet(os.path.join(unit_dir, "docs.parquet"))
+    lexicon = spark.read.parquet(os.path.join(unit_dir, "lexicon.parquet"))
+    golden = spark.read.parquet(os.path.join(unit_dir, "golden.parquet"))
+    return docs, lexicon, golden
+
+
+def _read_all(spark, out_dir):
+    return spark.read.parquet(out_dir).drop("bucket", "group")
+
+
+def test_job_writes_manifest_and_matches_golden(spark, loaded, tmp_path):
+    docs, lexicon, golden = loaded
+    p = Params(n_buckets=16)
+    summary = run_denoise_job(
+        spark, docs, lexicon, str(tmp_path / "out"), str(tmp_path / "m"),
+        params=p, run_id="r1", n_groups=4,
+        input_lineage="tests/fixtures/cache/unit/docs.parquet",
+    )
+    assert summary["groups_run"] == 4
+    out = _read_all(spark, str(tmp_path / "out"))
+    j = out.alias("o").join(golden.alias("g"), "doc_id", "full_outer")
+    assert j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count() == 0
+
+    m = ManifestCheckpoint(str(tmp_path / "m")).read(spark)
+    rows = m.collect()
+    assert len(rows) == 16  # one row per bucket
+    assert all(r.status == "done" and r.params_hash == params_hash(p) for r in rows)
+    assert sum(r.n_docs for r in rows) == docs.count()
+    assert all(r.n_noise_dropped == r.n_spans_in - r.n_spans_out for r in rows)
+    rates = [r.denoise_rate for r in rows if r.n_spans_in]
+    assert all(0.0 <= x <= 1.0 for x in rates) and any(x > 0 for x in rates)
+
+
+def test_kill_and_resume_skips_done_buckets(spark, loaded, tmp_path):
+    docs, lexicon, golden = loaded
+    p = Params(n_buckets=16)
+    out_dir, m_dir = str(tmp_path / "out"), str(tmp_path / "m")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_denoise_job(
+            spark, docs, lexicon, out_dir, m_dir,
+            params=p, run_id="r1", n_groups=4, fail_after_group=1,
+        )
+    done_before = ManifestCheckpoint(m_dir).completed_buckets(spark, "r1", params_hash(p))
+    assert 0 < len(done_before) < 16
+
+    summary = run_denoise_job(
+        spark, docs, lexicon, out_dir, m_dir, params=p, run_id="r1", n_groups=4
+    )
+    assert summary["groups_skipped"] == 2  # groups 0 and 1 committed pre-crash
+    assert summary["groups_run"] == 2
+
+    out = _read_all(spark, out_dir)
+    j = out.alias("o").join(golden.alias("g"), "doc_id", "full_outer")
+    assert j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count() == 0
+
+
+def test_params_change_invalidates_resume(spark, loaded, tmp_path):
+    docs, lexicon, _ = loaded
+    out_dir, m_dir = str(tmp_path / "out"), str(tmp_path / "m")
+    p1 = Params(n_buckets=16)
+    run_denoise_job(spark, docs, lexicon, out_dir, m_dir, params=p1, run_id="r1", n_groups=4)
+    # different params hash → nothing is considered done
+    p2 = Params(n_buckets=16, tau_wconf=50)
+    done = ManifestCheckpoint(m_dir).completed_buckets(spark, "r1", params_hash(p2))
+    assert done == set()

@@ -1,0 +1,85 @@
+"""Structured Streaming parity tests (ST1–ST6): incremental ingest is
+exactly-once across restarts, windows match their batch twins."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.operators.pipeline import denoise_fused
+from hocr_de_noising_spark.streaming import (
+    incremental_denoise_stream,
+    windowed_events_stream,
+)
+
+
+@pytest.fixture()
+def stream_dirs(tmp_path):
+    d = {
+        "in": str(tmp_path / "in"),
+        "out": str(tmp_path / "out"),
+        "ckpt": str(tmp_path / "ckpt"),
+    }
+    for v in d.values():
+        os.makedirs(v, exist_ok=True)
+    return d
+
+
+def test_incremental_denoise_exactly_once(spark, unit_dir, stream_dirs):
+    docs = spark.read.parquet(os.path.join(unit_dir, "docs.parquet"))
+    lexicon = spark.read.parquet(os.path.join(unit_dir, "lexicon.parquet"))
+    tokens = [r.token for r in lexicon.select("token").collect()]
+
+    first = docs.filter(F.col("doc_id") < "d00000100")
+    second = docs.filter(F.col("doc_id") >= "d00000100")
+
+    # batch 1 arrives
+    first.write.mode("append").parquet(stream_dirs["in"])
+    incremental_denoise_stream(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"], tokens
+    )
+    n1 = spark.read.parquet(stream_dirs["out"]).count()
+    assert n1 == first.count()
+
+    # restart with batch 2 added: only NEW files are processed
+    second.write.mode("append").parquet(stream_dirs["in"])
+    incremental_denoise_stream(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"], tokens
+    )
+    out = spark.read.parquet(stream_dirs["out"])
+    assert out.count() == docs.count()  # no duplicates: exactly-once
+    assert out.select("doc_id").distinct().count() == docs.count()
+
+    # stream result equals the batch pipeline on the same input
+    batch = denoise_fused(docs, tokens)
+    j = out.alias("o").join(batch.alias("b"), "doc_id", "full_outer")
+    assert j.filter(~F.col("o.spans").eqNullSafe(F.col("b.spans"))).count() == 0
+
+
+def test_windowed_stream_matches_batch_window(spark, sf001_dir, stream_dirs):
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    events.write.mode("append").parquet(stream_dirs["in"])
+    windowed_events_stream(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"]
+    )
+    streamed = spark.read.parquet(stream_dirs["out"])
+    batch = (
+        events.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    # watermark may hold back the final (unclosed) windows: everything
+    # the stream emitted must match the batch result exactly
+    assert streamed.exceptAll(batch).count() == 0
+    missing = batch.exceptAll(streamed)
+    max_ts = events.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    # only windows near the end of the stream (inside the watermark
+    # horizon) may be missing
+    assert missing.filter(F.col("w_start") < max_ts - 900).count() == 0

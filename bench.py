@@ -60,7 +60,17 @@ def main() -> None:
     bench_dir = write_corpus(CACHE_DIR, "bench")  # cached after first run
     gen_sec = time.time() - t_gen
 
-    spark = get_spark("bench", cores=CPUS, shuffle_partitions=max(CPUS * 2, 16))
+    spark = get_spark(
+        "bench",
+        cores=CPUS,
+        shuffle_partitions=max(CPUS * 2, 16),
+        extra_conf={
+            # splits sized so the scan stage parallelizes at both
+            # bench levels (corpus ~180 MB → ~45+ splits)
+            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     docs = spark.read.parquet(os.path.join(bench_dir, "docs.parquet"))

@@ -53,7 +53,7 @@ LABELS_SCHEMA = pa.schema(
     [("doc_id", pa.string()), ("offset", pa.int32()), ("noise_class", pa.string()), ("rule_class", pa.string())]
 )
 
-SIZES = {"unit": 200, "correctness": 5000, "bench": 50000}
+SIZES = {"unit": 200, "correctness": 5000, "bench": 200000}
 
 
 def payload(token: str, x0: int, y0: int, x1: int, y1: int, wconf: int, line: int, col: int) -> str:

@@ -1,0 +1,184 @@
+"""Multimodal (image/audio/video) columns as opaque binary + metadata.
+
+Design (brief: treat media as `binary` columns with typed metadata;
+decode/feature-extract/resize/frame-sample as Arrow-batched pandas UDFs
+over mapInPandas). The real codec decode is STUBBED — image/audio
+libraries are not available in this container — behind
+``decode_strict=True`` (NotImplementedError) and a deterministic fake
+codec ("FAKE" container format) that keeps ALL the Spark-side plumbing
+real and tested: schemas, binary Arrow transfer, batch shapes,
+partitioning, and the join back to span documents via media_ref.
+
+Media table schema:
+
+    media_ref  string   (join key to spans' media_ref)
+    media_type string   ('image' | 'audio' | 'video')
+    content    binary   (opaque payload)
+
+Fake container layout (deterministic, for tests):
+    b"FAKE" + type[1] + width int32 BE + height int32 BE + payload
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = "media_ref string, media_type string, content binary"
+DECODED_SCHEMA = (
+    "media_ref string, media_type string, width int, height int, "
+    "n_bytes long, sha256 string, decode_ok boolean"
+)
+FEATURES_DIM = 8
+FEATURES_SCHEMA = f"media_ref string, feature array<double>"
+FRAMES_SCHEMA = "media_ref string, frame_idx int, frame_bytes binary"
+
+_MAGIC = b"FAKE"
+_TYPE_CODE = {"image": b"I", "audio": b"A", "video": b"V"}
+
+
+def encode_fake_media(media_ref: str, media_type: str = "image") -> bytes:
+    """Deterministic fake binary content for fixtures."""
+    h = hashlib.sha256(media_ref.encode()).digest()
+    width = 16 + h[0] % 64
+    height = 16 + h[1] % 64
+    payload = (h * 8)[: width * height % 256 + 64]
+    return _MAGIC + _TYPE_CODE[media_type] + struct.pack(">ii", width, height) + payload
+
+
+def _decode_one(content: bytes):
+    """Parse the fake container; (width, height, ok)."""
+    if content is None or len(content) < 13 or content[:4] != _MAGIC:
+        return None, None, False
+    w, h = struct.unpack(">ii", content[5:13])
+    return w, h, True
+
+
+def decode_media(df: DataFrame, decode_strict: bool = False) -> DataFrame:
+    """Decode metadata from binary media content (mapInPandas).
+
+    ``decode_strict=True`` marks where a real codec (PIL/ffmpeg/...)
+    would run — intentionally NotImplementedError in this environment.
+    """
+    if decode_strict:
+        raise NotImplementedError(
+            "real image/audio/video codecs are not available in this "
+            "container; use decode_strict=False for the deterministic "
+            "fake-container decode path"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            widths, heights, oks, shas, sizes = [], [], [], [], []
+            for content in pdf["content"]:
+                b = bytes(content) if content is not None else None
+                w, h, ok = _decode_one(b)
+                widths.append(w)
+                heights.append(h)
+                oks.append(ok)
+                sizes.append(len(b) if b is not None else 0)
+                shas.append(hashlib.sha256(b).hexdigest() if b is not None else None)
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "media_type": pdf["media_type"],
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                    "n_bytes": pd.array(sizes, dtype="int64"),
+                    "sha256": shas,
+                    "decode_ok": oks,
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Deterministic 8-dim feature vector per media item (the stub for
+    an embedding model forward pass; plumbing — Arrow binary in,
+    array<double> out — is the real thing)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content in pdf["content"]:
+                if content is None:
+                    feats.append(None)
+                    continue
+                digest = hashlib.sha256(bytes(content)).digest()
+                vec = np.frombuffer(digest[: FEATURES_DIM * 4], dtype=">u4")
+                feats.append((vec.astype(np.float64) / 2**32).tolist())
+            yield pd.DataFrame({"media_ref": pdf["media_ref"], "feature": feats})
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def resize_image_stub(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Resize plan: recompute target dims JVM-side from decoded
+    metadata; the pixel resample itself is the stubbed step."""
+    scale = F.least(
+        F.lit(1.0),
+        F.lit(max_side) / F.greatest("width", "height").cast("double"),
+    )
+    return df.withColumn(
+        "target_width", F.ceil(F.col("width") * scale).cast("int")
+    ).withColumn("target_height", F.ceil(F.col("height") * scale).cast("int"))
+
+
+def sample_frames(df: DataFrame, every_n_bytes: int = 64, max_frames: int = 4) -> DataFrame:
+    """Frame sampling for 'video' media: emits up to max_frames byte
+    slices per item (the real codec would emit decoded frames; the
+    explode shape, batch sizing and binary transfer are real)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, idxs, blobs = [], [], []
+            for ref, mtype, content in zip(
+                pdf["media_ref"], pdf["media_type"], pdf["content"]
+            ):
+                if mtype != "video" or content is None:
+                    continue
+                b = bytes(content)
+                for i in range(min(max_frames, max(len(b) // every_n_bytes, 1))):
+                    refs.append(ref)
+                    idxs.append(i)
+                    blobs.append(b[i * every_n_bytes : (i + 1) * every_n_bytes])
+            yield pd.DataFrame(
+                {
+                    "media_ref": refs,
+                    "frame_idx": pd.array(idxs, dtype="int32"),
+                    "frame_bytes": blobs,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)
+
+
+def enrich_spans_with_media(docs: DataFrame, decoded: DataFrame) -> DataFrame:
+    """Join decoded media metadata back onto span documents: explode →
+    equi-join on media_ref (shuffle join at scale; media dim is NOT
+    broadcastable at 10^12 docs) → reassemble per doc."""
+    ex = docs.select("doc_id", F.posexplode("spans").alias("pos", "s")).select(
+        "doc_id", "pos", "s.*"
+    )
+    j = ex.join(
+        decoded.select("media_ref", "width", "height", "decode_ok"),
+        "media_ref",
+        "left",
+    )
+    return (
+        j.groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, "
+                "struct(kind, text, media_ref, offset, width, height, decode_ok) AS s)))"
+                ", x -> x.s)"
+            ).alias("spans")
+        )
+    )

@@ -5,9 +5,12 @@ Parses the flat hOCR word-record serialization carried by text spans
 
     "{token};bbox {x0} {y0} {x1} {y1};x_wconf {c};line {li};col {ci}"
 
-Everything is JVM-side ``regexp_extract`` (whole-stage codegen; no
-Python). Unparseable payloads yield null fields — parse failure is
-itself noise evidence (malformed-input tolerance, SURVEY.md §2 X1).
+Validity is ONE anchored rlike; field extraction is split-based (array
+element_at over the ';' segments) — far cheaper than re-running a
+capturing regex per field, and exactly equivalent once the payload has
+matched the anchored pattern. Everything is JVM-side (whole-stage
+codegen; no Python). Unparseable payloads yield null fields — parse
+failure is itself noise evidence (malformed-input tolerance).
 
 The raw hOCR XHTML parse path lives in ``operators/hocr.py``.
 """
@@ -23,17 +26,6 @@ PAYLOAD_PATTERN = (
     r"^([^;]*);bbox (\d+) (\d+) (\d+) (\d+);x_wconf (\d+);line (\d+);col (\d+)$"
 )
 
-_GROUPS = {
-    "token": 1,
-    "x0": 2,
-    "y0": 3,
-    "x1": 4,
-    "y1": 5,
-    "wconf": 6,
-    "line_i": 7,
-    "col_i": 8,
-}
-
 
 def parse_ok(text: Column) -> Column:
     return text.rlike(PAYLOAD_PATTERN)
@@ -47,16 +39,21 @@ def with_parsed_fields(df: DataFrame, text_col: str = "text", kind_col: str = "k
     text = F.col(text_col)
     ok = (F.col(kind_col) == "text") & text.isNotNull() & parse_ok(text)
     df = df.withColumn("parse_ok", F.coalesce(ok, F.lit(False)))
-    extract = F.when(F.col("parse_ok"), text)
-    df = df.withColumn("token", F.regexp_extract(extract, PAYLOAD_PATTERN, _GROUPS["token"]))
-    for name in ("x0", "y0", "x1", "y1", "wconf", "line_i", "col_i"):
-        df = df.withColumn(
-            name,
-            F.when(
-                F.col("parse_ok"),
-                F.regexp_extract(text, PAYLOAD_PATTERN, _GROUPS[name]).cast("int"),
-            ),
-        )
-    # token must be null (not "") when parse failed, to mirror rules_np
-    df = df.withColumn("token", F.when(F.col("parse_ok"), F.col("token")))
-    return df
+    df = df.withColumn("_segs", F.when(F.col("parse_ok"), F.split(text, ";")))
+    segs = F.col("_segs")
+    bbox = F.split(F.element_at(segs, 2), " ")
+
+    def seg_val(seg_idx: int, part_idx: int) -> Column:
+        return F.element_at(F.split(F.element_at(segs, seg_idx), " "), part_idx).cast("int")
+
+    return (
+        df.withColumn("token", F.element_at(segs, 1))
+        .withColumn("x0", F.element_at(bbox, 2).cast("int"))
+        .withColumn("y0", F.element_at(bbox, 3).cast("int"))
+        .withColumn("x1", F.element_at(bbox, 4).cast("int"))
+        .withColumn("y1", F.element_at(bbox, 5).cast("int"))
+        .withColumn("wconf", seg_val(3, 2))
+        .withColumn("line_i", seg_val(4, 2))
+        .withColumn("col_i", seg_val(5, 2))
+        .drop("_segs")
+    )

@@ -49,6 +49,11 @@ def get_spark(
             str(arrow_max_records_per_batch),
         )
         .config("spark.python.worker.reuse", "true")
+        # sandbox-sized input splits so scan-stage parallelism tracks
+        # core count even on tens-of-MB fixture files; a real cluster
+        # run overrides these back to 128m+ via extra_conf
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -27,6 +27,7 @@ from hocr_de_noising_spark.fixtures.spans import SIZES, write_corpus  # noqa: E4
 from hocr_de_noising_spark.operators.pipeline import (  # noqa: E402
     denoise_exploded,
     denoise_fused,
+    denoise_hybrid,
 )
 from hocr_de_noising_spark.queries import QUERIES  # noqa: E402
 from hocr_de_noising_spark.session import get_spark  # noqa: E402
@@ -78,10 +79,17 @@ def main() -> None:
     lex_tokens = [r.token for r in lexicon.select("token").collect()]
     n_docs = SIZES["bench"]
 
-    # JVM/codegen warmup
-    _noop_write(docs.limit(100))
+    # warmup: JVM codegen AND the Arrow/pandas worker path, so the
+    # first measured variant doesn't absorb worker start-up costs
+    warm = docs.limit(2000)
+    _noop_write(denoise_fused(warm, lex_tokens))
+    _noop_write(denoise_exploded(warm, lexicon))
 
     timings: dict[str, float] = {}
+
+    t0 = time.time()
+    _noop_write(denoise_hybrid(docs, lexicon, lex_tokens))
+    timings["denoise_hybrid"] = round(time.time() - t0, 3)
 
     t0 = time.time()
     _noop_write(denoise_fused(docs, lex_tokens))
@@ -96,7 +104,9 @@ def main() -> None:
         _noop_write(QUERIES[name]["fn"](spark, SF_DIR))
         timings[name] = round(time.time() - t0, 3)
 
-    best_denoise = min(timings["denoise_fused"], timings["denoise_exploded"])
+    denoise_variants = {k: v for k, v in timings.items() if k.startswith("denoise")}
+    best_variant = min(denoise_variants, key=denoise_variants.get)
+    best_denoise = denoise_variants[best_variant]
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -108,6 +118,7 @@ def main() -> None:
                 "sf": SF_DIR,
                 "cores": CPUS,
                 "denoise_docs_per_sec": round(n_docs / best_denoise, 1),
+                "denoise_best_variant": best_variant,
                 "bench_corpus_docs": n_docs,
                 "corpus_gen_cached_sec": round(gen_sec, 3),
             }

@@ -119,6 +119,7 @@ def run_denoise_job(
     from hocr_de_noising_spark.operators.pipeline import (
         denoise_exploded,
         denoise_fused,
+        denoise_hybrid,
     )
 
     p = params or Params()
@@ -145,11 +146,7 @@ def run_denoise_job(
         elif variant == "exploded":
             out = denoise_exploded(part.drop("bucket"), lexicon_df, p)
         else:  # hybrid: python path for normal docs, JVM path for giants
-            small = part.filter(F.size("spans") <= p.max_spans_per_doc).drop("bucket")
-            big = part.filter(F.size("spans") > p.max_spans_per_doc).drop("bucket")
-            out = denoise_fused(small, lex_tokens, p).unionByName(
-                denoise_exploded(big, lexicon_df, p)
-            )
+            out = denoise_hybrid(part.drop("bucket"), lexicon_df, lex_tokens, p)
 
         out = out.withColumn("bucket", bucket_col("doc_id", p))
         group_dir = os.path.join(out_dir, f"group={g}")

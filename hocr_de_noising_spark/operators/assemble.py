@@ -95,31 +95,40 @@ def with_output_order(df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
         F.last(F.when(is_surv_text, F.col("text_rank")), ignorenulls=True).over(w_pos),
     )
 
-    k1 = F.coalesce(F.col("anchor_rank"), F.lit(-1))
-    k2 = F.when(F.col("kind") == "text", 0).otherwise(1)
-    w_final = (
-        Window.partitionBy(doc_col)
-        .orderBy(k1, k2, F.col("pos"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    df = df.withColumn(
-        "final_pos",
-        (F.sum(F.when(F.col("survives"), 1).otherwise(0)).over(w_final) - 1).cast("int"),
-    )
     return df
 
 
 def reassemble(df: DataFrame, doc_col: str = "doc_id") -> DataFrame:
-    """Collect surviving spans back into the ordered spans array."""
+    """Collect surviving spans back into the ordered spans array.
+
+    The final output order is (anchor_rank, text-before-media, input
+    pos) — assigned INSIDE the array: array_sort on the key prefix of
+    the collected structs, then an indexed transform renumbers offsets
+    contiguously. This avoids a third per-doc window sort; the groupBy
+    is an ObjectHashAggregate that needs no sort at all.
+    """
+    k1 = F.coalesce(F.col("anchor_rank"), F.lit(-1))
+    k2 = F.when(F.col("kind") == "text", 0).otherwise(1)
     span = F.struct(
         F.col("kind").alias("kind"),
         F.col("emitted_text").alias("text"),
         F.col("media_ref").alias("media_ref"),
-        F.col("final_pos").alias("offset"),
     )
-    keyed = F.when(F.col("survives"), F.struct(F.col("final_pos").alias("p"), span.alias("s")))
+    keyed = F.when(
+        F.col("survives"),
+        F.struct(
+            k1.alias("k1"), k2.alias("k2"), F.col("pos").alias("k3"), span.alias("s")
+        ),
+    )
     return (
         df.groupBy(doc_col)
         .agg(F.array_sort(F.collect_list(keyed)).alias("keyed"))
-        .select(doc_col, F.expr("transform(keyed, x -> x.s)").alias("spans"))
+        .select(
+            doc_col,
+            F.expr(
+                "transform(keyed, (x, i) -> "
+                "struct(x.s.kind AS kind, x.s.text AS text, "
+                "x.s.media_ref AS media_ref, CAST(i AS int) AS offset))"
+            ).alias("spans"),
+        )
     )

@@ -32,12 +32,16 @@ def with_doc_stats(df: DataFrame, doc_col: str = "doc_id", params: Params | None
     def pct(col: str, q: float):
         return F.expr(f"percentile(CASE WHEN parse_ok THEN {col} END, {q!r})").over(w)
 
-    return (
-        df.withColumn("med_h", pct("h", 0.5))
-        .withColumn("p_lo_x0", pct("x0", lo))
-        .withColumn("p_hi_x1", pct("x1", hi))
-        .withColumn("p_lo_y0", pct("y0", lo))
-        .withColumn("p_hi_y1", pct("y1", hi))
+    # single select → all five aggregates land in ONE WindowExec (one
+    # pass per doc partition); stacked withColumns would interleave
+    # Projects and defeat window collapsing
+    return df.select(
+        "*",
+        pct("h", 0.5).alias("med_h"),
+        pct("x0", lo).alias("p_lo_x0"),
+        pct("x1", hi).alias("p_hi_x1"),
+        pct("y0", lo).alias("p_lo_y0"),
+        pct("y1", hi).alias("p_hi_y1"),
     )
 
 

@@ -63,31 +63,68 @@ def denoise_exploded(
         F.col("span.media_ref").alias("media_ref"),
     )
     ex = with_parsed_fields(ex)
+    # dictionary check BEFORE the stats window: the broadcast join and
+    # the Arrow-batched fuzzy UDF are map-side, so the per-doc hash
+    # partitioning introduced next is the plan's only wide exchange
+    # (ArrowEvalPython does not propagate partitioning — evaluating it
+    # after the window would force a second exchange)
+    ex = with_dictionary_check(ex, lexicon_df, params=p)
     ex = with_doc_stats(ex, params=p)
     ex = with_flags(ex, params=p)
-    ex = with_dictionary_check(ex, lexicon_df, params=p)
     ex = with_noise_decision(ex, params=p)
     ex = with_survival(ex, params=p)
     ex = with_output_order(ex)
     return reassemble(ex)
 
 
+def denoise_hybrid(
+    docs: DataFrame,
+    lexicon_df: DataFrame,
+    lexicon_tokens: list[str],
+    params: Params | None = None,
+) -> DataFrame:
+    """Skew-routing variant (J5 + §7.3 item 2): normal docs take the
+    Arrow/pandas fused path (scales linearly — Python workers are
+    embarrassingly parallel); pathological giants (> max_spans_per_doc)
+    take the JVM exploded path, where a 100k-span doc is milliseconds of
+    window work instead of seconds of single-worker Python — removing
+    the serial tail that otherwise caps scaling efficiency."""
+    p = params or Params()
+    small = docs.filter(F.size("spans") <= p.max_spans_per_doc)
+    big = docs.filter(F.size("spans") > p.max_spans_per_doc)
+    return denoise_fused(small, lexicon_tokens, p).unionByName(
+        denoise_exploded(big, lexicon_df, p)
+    )
+
+
 def denoise_fused(
     docs: DataFrame,
     lexicon_tokens: list[str],
     params: Params | None = None,
+    vectorized: bool = True,
 ) -> DataFrame:
-    """Single-pass mapInPandas variant running the frozen numpy rule."""
+    """Single-pass mapInPandas variant of the frozen rule.
+
+    ``vectorized=True`` (default) runs the pandas/numpy batch engine
+    (rules_vec — one regex extract and groupby-quantile per Arrow
+    batch); ``vectorized=False`` runs the doc-at-a-time reference
+    implementation (rules_np). Identical semantics, property-tested.
+    """
     p = params or Params()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hocr_de_noising_spark.rules_vec import denoise_batch
+
         lex = Lexicon(lexicon_tokens) if p.use_dictionary else None
         for pdf in batches:
-            out_ids, out_spans = [], []
-            for doc_id, spans in zip(pdf["doc_id"], pdf["spans"]):
-                spans = list(spans) if spans is not None else []
-                out_ids.append(doc_id)
-                out_spans.append(denoise_doc(spans, p, lex))
-            yield pd.DataFrame({"doc_id": out_ids, "spans": out_spans})
+            ids = pdf["doc_id"].tolist()
+            spans_lists = [
+                list(s) if s is not None else [] for s in pdf["spans"]
+            ]
+            if vectorized:
+                out_spans = denoise_batch(ids, spans_lists, p, lex)
+            else:
+                out_spans = [denoise_doc(s, p, lex) for s in spans_lists]
+            yield pd.DataFrame({"doc_id": ids, "spans": out_spans})
 
     return docs.mapInPandas(run, schema=OUT_SCHEMA)

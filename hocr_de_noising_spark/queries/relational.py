@@ -579,3 +579,47 @@ def dict_join(spark, sf):
         F.col("b.p_brand").alias("brand_b"),
         F.levenshtein(F.col("a.p_brand"), F.col("b.p_brand")).alias("dist"),
     )
+
+
+@register(
+    "agg_cube",
+    """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+              count(*) AS n_docs
+       FROM documents GROUP BY CUBE (lang, source)""",
+)
+def agg_cube(spark, sf):
+    """A4: cube — all grouping-set combinations of (lang, source)."""
+    return (
+        load(spark, sf, "documents")
+        .cube("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+        )
+    )
+
+
+@register(
+    "window_ntile",
+    """SELECT o_orderkey,
+              ntile(4) OVER w AS quartile,
+              dense_rank() OVER w AS drnk,
+              round(percent_rank() OVER w, 6) AS prnk
+       FROM orders
+       WINDOW w AS (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey)""",
+)
+def window_ntile(spark, sf):
+    """W2: ntile / dense_rank / percent_rank (threshold calibration
+    quantiles over per-group orderings)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return load(spark, sf, "orders").select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.round(F.percent_rank().over(w), 6).alias("prnk"),
+    )

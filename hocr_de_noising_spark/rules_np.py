@@ -203,6 +203,7 @@ def doc_flags(
                     "too_long": False,
                     "geom": False,
                     "margin": False,
+                    "dict_hit": False,
                     "dict_miss": True,
                     "is_noise": True,
                     "norm_token": None,
@@ -230,10 +231,12 @@ def doc_flags(
         )
         if lexicon is not None and params.use_dictionary:
             if params.max_edit_distance >= 1:
-                dict_miss = not lexicon.within_one(norm)
+                dict_hit = lexicon.within_one(norm)
             else:
-                dict_miss = not lexicon.contains_exact(norm)
+                dict_hit = lexicon.contains_exact(norm)
+            dict_miss = not dict_hit
         else:
+            dict_hit = False
             dict_miss = False
         is_noise = (
             wconf_low or nonalpha or repeat or too_long or geom or margin or dict_miss
@@ -247,6 +250,7 @@ def doc_flags(
                 "too_long": too_long,
                 "geom": geom,
                 "margin": margin,
+                "dict_hit": dict_hit,
                 "dict_miss": dict_miss,
                 "is_noise": is_noise,
                 "norm_token": norm,
@@ -332,7 +336,7 @@ def denoise_doc(
                         },
                     )
                 )
-        else:
+        elif s["kind"] is not None:  # null-kind spans are invalid: drop
             keyed.append(
                 (
                     (last_rank, 1, i),
@@ -355,7 +359,7 @@ def _rewritable(flag: dict, lexicon: Lexicon | None) -> bool:
     only_wconf = flag["wconf_low"] and not any(
         flag[k] for k in ("parse_fail", "nonalpha", "repeat", "too_long", "geom", "margin", "dict_miss")
     )
-    return only_wconf and lexicon is not None and lexicon.within_one(flag["norm_token"])
+    return only_wconf and flag["dict_hit"]
 
 
 def _rewrite_payload(text: str, norm_token: str) -> str:

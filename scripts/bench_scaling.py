@@ -1,13 +1,19 @@
 """Two-parallelism-level scaling evidence (north-rule criterion).
 
 No real cluster exists in this sandbox, so — per the driver's
-instruction — the N vs 4N executor comparison is evidenced by running
-the identical bench job at local[8] and local[32] in fresh JVMs and
-reporting throughput at both plus scaling efficiency
-(= (docs/sec@32 / docs/sec@8) / 4). Appends results to
+instruction ("N and 4N cores") — the N vs 4N executor comparison is
+evidenced by running the identical bench job at local[N] and local[4N]
+in fresh JVMs and reporting throughput at both plus scaling efficiency
+(= (docs/sec@4N / docs/sec@N) / 4). Appends results to
 BENCH/BASELINE.md and prints a JSON summary.
 
-Usage: python scripts/bench_scaling.py [--runs 1]
+The host is shared (co-tenant load of ~8-12 cores is common — check
+/proc/loadavg), so levels default to 4 vs 16 cores (N vs 4N without
+oversubscribing the box) and each level runs multiple times interleaved
+with the other; the MINIMUM wall time per level (least-contended run)
+is reported.
+
+Usage: python scripts/bench_scaling.py [--runs 2] [--levels 4 16]
 """
 
 from __future__ import annotations
@@ -36,31 +42,43 @@ def run_bench(cpus: int) -> dict:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--runs", type=int, default=1, help="runs per level (best kept)")
+    ap.add_argument("--runs", type=int, default=2, help="runs per level (best kept)")
+    ap.add_argument("--levels", type=int, nargs=2, default=(4, 16),
+                    help="N and 4N core counts")
     args = ap.parse_args()
+    lo, hi = args.levels
 
     results = {}
-    for cpus in (8, 32):
-        best = None
-        for _ in range(args.runs):
+    for _ in range(args.runs):
+        for cpus in (lo, hi):  # interleaved to decorrelate host-load drift
             r = run_bench(cpus)
+            best = results.get(cpus)
             if best is None or r["denoise_docs_per_sec"] > best["denoise_docs_per_sec"]:
-                best = r
-        results[cpus] = best
+                results[cpus] = r
 
-    thr8 = results[8]["denoise_docs_per_sec"]
-    thr32 = results[32]["denoise_docs_per_sec"]
-    eff = (thr32 / thr8) / 4.0
-    q8, q32 = results[8]["queries"], results[32]["queries"]
+    q8, q32 = results[lo]["queries"], results[hi]["queries"]
+    n_docs = results[lo]["bench_corpus_docs"]
+    # same-variant efficiency (comparing different variants across levels
+    # would inflate/deflate the ratio); headline = best variant at 4N
+    variants = [k for k in q8 if k.startswith("denoise") and k in q32]
+    per_variant = {
+        v: round((q8[v] / q32[v]) / (hi / lo), 3) for v in variants
+    }
+    headline = min(variants, key=lambda v: q32[v])
+    thr8 = round(n_docs / q8[headline], 1)
+    thr32 = round(n_docs / q32[headline], 1)
+    eff = (thr32 / thr8) / (hi / lo)
     qtot8 = sum(v for k, v in q8.items() if not k.startswith("denoise"))
     qtot32 = sum(v for k, v in q32.items() if not k.startswith("denoise"))
 
     summary = {
-        "denoise_docs_per_sec_local8": thr8,
-        "denoise_docs_per_sec_local32": thr32,
+        f"denoise_docs_per_sec_local{lo}": thr8,
+        f"denoise_docs_per_sec_local{hi}": thr32,
         "denoise_scaling_efficiency": round(eff, 3),
-        "headline_queries_sec_local8": round(qtot8, 2),
-        "headline_queries_sec_local32": round(qtot32, 2),
+        "denoise_headline_variant": headline,
+        "per_variant_efficiency": per_variant,
+        f"headline_queries_sec_local{lo}": round(qtot8, 2),
+        f"headline_queries_sec_local{hi}": round(qtot32, 2),
     }
     print(json.dumps(summary))
 
@@ -68,16 +86,16 @@ def main() -> None:
     os.makedirs(os.path.dirname(md), exist_ok=True)
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
     lines = [
-        f"\n## Run {stamp}\n",
-        "| metric | local[8] (N) | local[32] (4N) | efficiency |",
+        f"\n## Run {stamp} (levels {lo}/{hi}, best of {args.runs} interleaved runs/level)\n",
+        f"| metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency |",
         "| --- | --- | --- | --- |",
-        f"| de-noise throughput (docs/sec, 50k-doc corpus w/ skew plants) | {thr8} | {thr32} | **{eff:.3f}** |",
-        f"| best de-noise variant time (s) | {min(q8['denoise_fused'], q8['denoise_exploded'])} | {min(q32['denoise_fused'], q32['denoise_exploded'])} | |",
+        f"| de-noise throughput (docs/sec, 200k-doc corpus w/ skew plants; variant={headline}) | {thr8} | {thr32} | **{eff:.3f}** |",
+        f"| per-variant efficiency | | | {per_variant} |",
         f"| headline relational queries total (s, sf0.1) | {qtot8} | {qtot32} | |",
         "",
         "Per-query seconds:",
         "",
-        "| query | local[8] | local[32] |",
+        f"| query | local[{lo}] | local[{hi}] |",
         "| --- | --- | --- |",
     ] + [f"| {k} | {q8[k]} | {q32.get(k, '')} |" for k in sorted(q8)]
     with open(md, "a") as f:

@@ -11,7 +11,7 @@ import time
 import pytest
 from pyspark.sql import functions as F
 
-from hocr_de_noising_spark.operators.pipeline import denoise_exploded, denoise_fused
+from hocr_de_noising_spark.operators.pipeline import denoise_exploded, denoise_fused, denoise_hybrid
 from hocr_de_noising_spark.params import Params
 
 
@@ -35,12 +35,10 @@ def test_hybrid_routing_is_golden_exact_under_skew(spark, corr):
     docs, golden, lexicon = corr
     p = Params()
     tokens = [r.token for r in lexicon.select("token").collect()]
-    small = docs.filter(F.size("spans") <= p.max_spans_per_doc)
-    big = docs.filter(F.size("spans") > p.max_spans_per_doc)
-    assert big.count() == 3
+    assert docs.filter(F.size("spans") > p.max_spans_per_doc).count() == 3
 
     t0 = time.time()
-    out = denoise_fused(small, tokens, p).unionByName(denoise_exploded(big, lexicon, p))
+    out = denoise_hybrid(docs, lexicon, tokens, p)
     j = out.alias("o").join(golden.alias("g"), "doc_id", "full_outer")
     n_bad = j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count()
     elapsed = time.time() - t0

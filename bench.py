@@ -79,9 +79,10 @@ def main() -> None:
     lex_tokens = [r.token for r in lexicon.select("token").collect()]
     n_docs = SIZES["bench"]
 
-    # warmup: JVM codegen AND the Arrow/pandas worker path, so the
-    # first measured variant doesn't absorb worker start-up costs
-    warm = docs.limit(2000)
+    # warmup: JVM codegen AND every Python worker (repartition to one
+    # slice per core so ALL workers import pandas/numpy and build the
+    # lexicon index before timing starts)
+    warm = docs.limit(max(CPUS * 200, 2000)).repartition(CPUS)
     _noop_write(denoise_fused(warm, lex_tokens))
     _noop_write(denoise_exploded(warm, lexicon))
 

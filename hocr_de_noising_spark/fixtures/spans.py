@@ -298,7 +298,16 @@ def write_corpus(out_dir: str, size: str = "unit", seed: int = 42, params: Param
         # small row groups keep the file splittable: Spark's scan stage
         # can then parallelize by row-group byte ranges (one giant row
         # group would serialize the whole scan into a single task)
-        pq.write_table(tbl, os.path.join(d, f"{name}.parquet"), row_group_size=500)
+        if name == "docs" and skew:
+            # pathological docs each get their OWN row group in a
+            # separate part file, so each giant is its own scan task
+            # instead of one straggler task holding all three
+            part_dir = os.path.join(d, f"{name}.parquet")
+            os.makedirs(part_dir, exist_ok=True)
+            pq.write_table(tbl.slice(0, 3), os.path.join(part_dir, "part-giants.parquet"), row_group_size=1)
+            pq.write_table(tbl.slice(3), os.path.join(part_dir, "part-normal.parquet"), row_group_size=500)
+        else:
+            pq.write_table(tbl, os.path.join(d, f"{name}.parquet"), row_group_size=500)
     with open(marker, "w") as f:
         f.write("ok")
     return d

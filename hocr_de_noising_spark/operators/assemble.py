@@ -34,19 +34,14 @@ def with_survival(df: DataFrame, params: Params | None = None) -> DataFrame:
     p = params or Params()
     is_text = F.col("kind") == "text"
     if p.mode == "rewrite":
-        only_wconf = (
-            F.col("parse_ok")
-            & F.col("f_wconf")
-            & ~(
-                F.col("f_nonalpha")
-                | F.col("f_repeat")
-                | F.col("f_toolong")
-                | F.col("f_geom")
-                | F.col("f_margin")
-                | F.col("f_dict_miss")
-            )
+        # rewrite_text (features.with_text_flags) is non-null only when
+        # the map-side conditions held (wconf-only garbage flags +
+        # dictionary hit); the geometry flags complete the rule here
+        rewritten = (
+            F.col("rewrite_text").isNotNull()
+            & ~F.col("f_geom")
+            & ~F.col("f_margin")
         )
-        rewritten = F.col("is_noise") & only_wconf & F.col("f_dict_hit")
     else:
         rewritten = F.lit(False)
     df = df.withColumn("rewritten", F.coalesce(rewritten, F.lit(False)))
@@ -54,11 +49,7 @@ def with_survival(df: DataFrame, params: Params | None = None) -> DataFrame:
     df = df.withColumn(
         "survives", F.col("kind").isNotNull() & ~F.coalesce(drop, F.lit(False))
     )
-    # rewrite substitutes the normalized token into the payload head
-    emitted = F.when(
-        F.col("rewritten"),
-        F.concat(F.col("norm_token"), F.expr("substr(text, instr(text, ';'))")),
-    ).otherwise(F.col("text"))
+    emitted = F.when(F.col("rewritten"), F.col("rewrite_text")).otherwise(F.col("text"))
     return df.withColumn("emitted_text", F.when(is_text, emitted))
 
 

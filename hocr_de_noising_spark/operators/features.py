@@ -45,11 +45,12 @@ def with_doc_stats(df: DataFrame, doc_col: str = "doc_id", params: Params | None
     )
 
 
-def with_flags(df: DataFrame, params: Params | None = None) -> DataFrame:
-    """Noise-evidence flags (X2–X5). Meaningful only where parse_ok."""
+def with_text_flags(df: DataFrame, params: Params | None = None) -> DataFrame:
+    """X4/X5 — confidence + garbage-string flags. These need no page
+    statistics, so they run MAP-SIDE before the per-doc shuffle; the
+    token/wconf columns can then be pruned from the exchange."""
     p = params or Params()
     token = F.col("token")
-    tol = float(p.envelope_tol_px)
 
     n_letters = F.length(F.regexp_replace(token, r"[^\p{L}]", ""))
     nonalpha_ratio = F.when(
@@ -61,6 +62,30 @@ def with_flags(df: DataFrame, params: Params | None = None) -> DataFrame:
         "f_nonalpha": nonalpha_ratio > p.max_nonalpha_ratio,
         "f_repeat": token.rlike(r"(.)\1{%d,}" % (p.repeat_run_len - 1)),
         "f_toolong": F.length(token) > p.max_token_len,
+    }
+    for name, expr in flags.items():
+        df = df.withColumn(name, F.col("parse_ok") & F.coalesce(expr, F.lit(False)))
+
+    # rewrite candidate precomputed map-side so norm_token need not
+    # cross the shuffle (null unless the span could be rewritten)
+    if p.mode == "rewrite":
+        candidate = F.when(
+            F.col("parse_ok")
+            & F.col("f_wconf")
+            & ~(F.col("f_nonalpha") | F.col("f_repeat") | F.col("f_toolong"))
+            & F.col("f_dict_hit"),
+            F.concat(F.col("norm_token"), F.expr("substr(text, instr(text, ';'))")),
+        )
+    else:
+        candidate = F.lit(None).cast("string")
+    return df.withColumn("rewrite_text", candidate)
+
+
+def with_geom_flags(df: DataFrame, params: Params | None = None) -> DataFrame:
+    """X2/X3 — geometry + margin flags against the page statistics."""
+    p = params or Params()
+    tol = float(p.envelope_tol_px)
+    flags = {
         "f_geom": (
             (F.col("h") < p.speck_h_frac * F.col("med_h"))
             | (F.col("h") > p.blob_h_frac * F.col("med_h"))

@@ -32,8 +32,9 @@ from hocr_de_noising_spark.operators.assemble import (
 )
 from hocr_de_noising_spark.operators.features import (
     with_doc_stats,
-    with_flags,
+    with_geom_flags,
     with_noise_decision,
+    with_text_flags,
 )
 from hocr_de_noising_spark.operators.lexicon import with_dictionary_check
 from hocr_de_noising_spark.operators.parse import with_parsed_fields
@@ -63,14 +64,23 @@ def denoise_exploded(
         F.col("span.media_ref").alias("media_ref"),
     )
     ex = with_parsed_fields(ex)
-    # dictionary check BEFORE the stats window: the broadcast join and
-    # the Arrow-batched fuzzy UDF are map-side, so the per-doc hash
-    # partitioning introduced next is the plan's only wide exchange
-    # (ArrowEvalPython does not propagate partitioning — evaluating it
-    # after the window would force a second exchange)
+    # dictionary check and all non-geometry flags BEFORE the stats
+    # window: the broadcast join, the Arrow-batched fuzzy UDF and the
+    # string-heavy flag expressions are map-side, so (a) the per-doc
+    # hash partitioning introduced next is the plan's only wide
+    # exchange (ArrowEvalPython does not propagate partitioning), and
+    # (b) token/norm_token/wconf are pruned before the shuffle —
+    # only the payload, geometry ints and boolean flags cross the wire
     ex = with_dictionary_check(ex, lexicon_df, params=p)
+    ex = with_text_flags(ex, params=p)
+    ex = ex.select(
+        "doc_id", "pos", "kind", "text", "media_ref", "parse_ok",
+        "x0", "y0", "x1", "y1", "line_i", "col_i",
+        "f_wconf", "f_nonalpha", "f_repeat", "f_toolong", "f_dict_miss",
+        "rewrite_text",
+    )
     ex = with_doc_stats(ex, params=p)
-    ex = with_flags(ex, params=p)
+    ex = with_geom_flags(ex, params=p)
     ex = with_noise_decision(ex, params=p)
     ex = with_survival(ex, params=p)
     ex = with_output_order(ex)

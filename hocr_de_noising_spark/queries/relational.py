@@ -623,3 +623,42 @@ def window_ntile(spark, sf):
         F.dense_rank().over(w).alias("drnk"),
         F.round(F.percent_rank().over(w), 6).alias("prnk"),
     )
+
+
+@register(
+    "tpch_q3",
+    """SELECT o.o_orderkey,
+              round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+              o.o_orderdate
+       FROM customer c
+       JOIN orders o ON c.c_custkey = o.o_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1995-03-15'
+         AND l.l_shipdate > TIMESTAMP '1995-03-15'
+       GROUP BY o.o_orderkey, o.o_orderdate
+       ORDER BY revenue DESC, o_orderkey LIMIT 20""",
+)
+def tpch_q3(spark, sf):
+    """Multi-join + aggregate + top-k (Catalyst join ordering, partial
+    aggregation, TakeOrdered) — the TPC-H Q3 shape."""
+    c = load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+    )
+    li = load(spark, sf, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderkey")
+        .limit(20)
+    )

@@ -83,3 +83,35 @@ def test_windowed_stream_matches_batch_window(spark, sf001_dir, stream_dirs):
     # only windows near the end of the stream (inside the watermark
     # horizon) may be missing
     assert missing.filter(F.col("w_start") < max_ts - 900).count() == 0
+
+
+def test_stateful_streaming_dedup(spark, sf001_dir, stream_dirs):
+    """ST5: dropDuplicatesWithinWatermark drops re-delivered events."""
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet")).filter(
+        F.col("event_id") < 500
+    )
+    # write the same events twice: at-least-once delivery simulation
+    events.write.mode("append").parquet(stream_dirs["in"])
+    events.write.mode("append").parquet(stream_dirs["in"])
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stream_dirs["in"])
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", stream_dirs["out"])
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(stream_dirs["out"])
+    assert out.count() == events.count()  # exactly one copy per event_id
+    assert out.select("event_id").distinct().count() == events.count()

@@ -662,3 +662,47 @@ def tpch_q3(spark, sf):
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(20)
     )
+
+
+@register(
+    "join_full",
+    """SELECT coalesce(c.c_custkey, -1) AS cust, coalesce(o.o_orderkey, -1) AS ord
+       FROM (SELECT c_custkey FROM customer WHERE c_custkey % 7 = 0) c
+       FULL JOIN (SELECT o_orderkey, o_custkey FROM orders WHERE o_orderkey % 11 = 0) o
+         ON o.o_custkey = c.c_custkey""",
+)
+def join_full(spark, sf):
+    """J3: full outer join preserving both unmatched sides."""
+    c = load(spark, sf, "customer").filter(F.col("c_custkey") % 7 == 0).select("c_custkey")
+    o = (
+        load(spark, sf, "orders")
+        .filter(F.col("o_orderkey") % 11 == 0)
+        .select("o_orderkey", "o_custkey")
+    )
+    return c.join(o, o.o_custkey == c.c_custkey, "full_outer").select(
+        F.coalesce("c_custkey", F.lit(-1)).alias("cust"),
+        F.coalesce("o_orderkey", F.lit(-1)).alias("ord"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """SELECT event_id, user_id,
+              CAST(count(*) OVER (PARTITION BY user_id
+                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                    RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS n_last_10min
+       FROM events""",
+)
+def window_range_frame(spark, sf):
+    """W4: RANGE frame over event time (events in the trailing 10 min)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-600, 0)
+    )
+    return load(spark, sf, "events").select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_10min"),
+    )

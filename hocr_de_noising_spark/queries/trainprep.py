@@ -96,31 +96,36 @@ def _shingles(spark, sf, n: int = 3):
 @register("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates: shingle → 16 md5 minhashes →
-    2-row bands → bucket join. md5 keeps signatures engine-portable."""
+    2-row bands → bucket join. md5 keeps signatures engine-portable.
+
+    The 16 minhashes are computed as COLUMNS of one pass over the
+    shingles (16 md5 expressions + a single groupBy with 16 min
+    aggregates) — no 16x row explosion, map-side partial min."""
     sh = _shingles(spark, sf, 3)
-    seeds = spark.range(N_SEEDS).select(F.col("id").cast("int").alias("seed"))
-    mh = (
-        sh.join(F.broadcast(seeds))
-        .select(
-            "doc_id",
-            "seed",
-            F.md5(F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("shingle"))).alias("h"),
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("mh"))
+    mh_cols = [
+        F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
+        for i in range(N_SEEDS)
+    ]
+    sig = sh.select("doc_id", *mh_cols).groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_SEEDS)]
     )
-    bands = (
-        mh.withColumn("band", F.expr(f"seed div {BAND_ROWS}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.expr("transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh)"),
-                    "|",
-                )
-            ).alias("bucket")
-        )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"mh{b * BAND_ROWS + r}") for r in range(BAND_ROWS)],
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(N_SEEDS // BAND_ROWS)
+        ]
     )
+    bands = sig.select(
+        "doc_id", F.explode(band_structs).alias("bb")
+    ).select("doc_id", "bb.band", "bb.bucket")
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(

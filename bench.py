@@ -1,6 +1,6 @@
 """Benchmark harness — one JSON line on stdout (driver contract).
 
-Runs the flagship de-noising pipeline on the 50k-doc interleaved-spans
+Runs the flagship de-noising pipeline on the 200k-doc interleaved-spans
 bench corpus (FIXTURES.md §2 incl. 3 pathological 100k-span skew
 plants) plus headline relational/trainprep queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), on
@@ -40,6 +40,7 @@ CACHE_DIR = os.path.join(
 # representative headline queries across operator families
 HEADLINE = [
     "tpch_q1",
+    "tpch_q3",
     "join_inner",
     "join_asof",
     "agg_percentile",

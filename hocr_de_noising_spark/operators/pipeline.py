@@ -1,4 +1,4 @@
-"""The flagship de-noising pipeline — two implementations, one semantic.
+"""The flagship de-noising pipeline — three variants, one semantic.
 
 ``denoise_exploded`` (SURVEY.md §4.3 variant b): fully declarative
 Catalyst plan — posexplode → parse (regexp, codegen) → one per-doc
@@ -8,13 +8,17 @@ windows (no new shuffle; same hash partitioning) → groupBy reassembly.
 Exactly ONE wide shuffle end-to-end; everything else is map-side.
 
 ``denoise_fused`` (variant a): a single ``mapInPandas`` pass running
-the numpy rule (rules_np.denoise_doc) per document — zero shuffles
-(docs are rows; doc-atomicity is free). Arrow-batched, batch size
-bounded via spark.sql.execution.arrow.maxRecordsPerBatch so one giant
-document cannot blow a batch.
+the vectorized batch rule (rules_vec) — zero shuffles (docs are rows;
+doc-atomicity is free). Arrow-batched, batch size bounded via
+spark.sql.execution.arrow.maxRecordsPerBatch so one giant document
+cannot blow a batch.
 
-Both must produce byte-identical output and are cross-checked against
-the constructive goldens in tests/test_golden.py.
+``denoise_hybrid`` (production default): fused for normal docs, with
+pathological giants routed to the exploded JVM path (skew defusal).
+
+All variants must produce byte-identical output and are cross-checked
+against the constructive goldens (tests/test_golden.py) and against
+each other on fresh seeds (tests/test_differential.py).
 """
 
 from __future__ import annotations

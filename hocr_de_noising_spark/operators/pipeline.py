@@ -104,8 +104,12 @@ def denoise_hybrid(
     window work instead of seconds of single-worker Python — removing
     the serial tail that otherwise caps scaling efficiency."""
     p = params or Params()
-    small = docs.filter(F.size("spans") <= p.max_spans_per_doc)
-    big = docs.filter(F.size("spans") > p.max_spans_per_doc)
+    # coalesce: F.size(NULL) is NULL, which passes NEITHER filter — a
+    # null-spans doc must take the fused path (emitting spans=[]) to
+    # keep the byte-identical cross-variant contract.
+    n_spans = F.coalesce(F.size("spans"), F.lit(0))
+    small = docs.filter(n_spans <= p.max_spans_per_doc)
+    big = docs.filter(n_spans > p.max_spans_per_doc)
     return denoise_fused(small, lexicon_tokens, p).unionByName(
         denoise_exploded(big, lexicon_df, p)
     )

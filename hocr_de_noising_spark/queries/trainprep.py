@@ -49,10 +49,9 @@ N_SEEDS, BAND_ROWS = 16, 2  # 8 bands x 2 rows
 
 _SHINGLE_SQL = """
     SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3),
-         (SELECT unnest(generate_series(1, 10000)) AS i)
-    WHERE i <= len(t) - 2
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 3))
 """
 
 _MINHASH_SQL = f"""
@@ -180,8 +179,23 @@ def dedup_simhash(spark, sf):
     )
 
 
+# Document-frequency cap: shingles shared by more than this many docs
+# (stop-phrases) are excluded from BOTH the intersection and the set
+# sizes. This is the standard dedup-pipeline bound that keeps the
+# shingle self-join linear-ish at corpus scale: without it one
+# high-df trigram shared by 10^6 docs is a 10^12 pair fan-out before
+# the jaccard filter can reject anything.
+JACCARD_DF_CAP = 100
+
 _JACCARD_SQL = f"""
-WITH sh AS ({_SHINGLE_SQL}),
+WITH sh0 AS ({_SHINGLE_SQL}),
+sh AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle,
+               count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0
+    ) WHERE df <= {JACCARD_DF_CAP}
+),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
@@ -194,11 +208,27 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
 """
 
 
+def capped_shingles(spark, sf, n: int = 3, df_cap: int = JACCARD_DF_CAP):
+    """Shingles with document frequency <= df_cap — the bounded input
+    that makes the jaccard self-join safe at scale. The df filter is a
+    single count window BEFORE the self-join (plan-asserted in
+    tests/test_plans.py), so the join's per-key fan-out is <= df_cap."""
+    sh = _shingles(spark, sf, n)
+    w = Window.partitionBy("shingle")
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(w))
+        .filter(F.col("df") <= df_cap)
+        .drop("df")
+    )
+
+
 @register("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf):
-    """Exact n-gram Jaccard over candidate pairs sharing >=1 shingle —
-    the verification stage behind MinHash candidates."""
-    sh = _shingles(spark, sf, 3)
+    """Exact n-gram Jaccard over candidate pairs sharing >=1
+    bounded-df shingle — the verification stage behind MinHash
+    candidates. Stop-phrase shingles (df > JACCARD_DF_CAP) are dropped
+    before the self-join so the pair fan-out per shingle is bounded."""
+    sh = capped_shingles(spark, sf, 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -237,7 +267,7 @@ vals AS (
     FROM pairs
 )
 SELECT vec_a, vec_b,
-       round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cosine
+       round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) + 0.0 AS cosine
 FROM vals GROUP BY vec_a, vec_b
 """
 
@@ -249,6 +279,13 @@ def _cos_expr(a: str, b: str):
     na = _DOT.format(a=a, b=a)
     nb = _DOT.format(a=b, b=b)
     return F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+
+
+def _rounded_cos(a: str, b: str, digits: int = 4):
+    """Rounded cosine normalized to +0.0 — IEEE ``-0.0 + 0.0 = +0.0``,
+    so tiny negative cosines hash identically across engines (DuckDB
+    round() preserves the sign bit, Spark's does not)."""
+    return F.round(_cos_expr(a, b), digits) + F.lit(0.0)
 
 
 @register("dedup_embed_cosine", _COSINE_PAIR_SQL)
@@ -267,7 +304,7 @@ def dedup_embed_cosine(spark, sf):
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.round(_cos_expr("a.v", "b.v"), 4).alias("cosine"),
+            _rounded_cos("a.v", "b.v").alias("cosine"),
         )
     )
 
@@ -288,7 +325,7 @@ vals AS (
 ),
 cos AS (
     SELECT query_id, neighbor_id,
-           round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cosine
+           round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) + 0.0 AS cosine
     FROM vals GROUP BY query_id, neighbor_id
 )
 SELECT query_id, neighbor_id, cosine, rnk FROM (
@@ -311,7 +348,7 @@ def knn_bruteforce(spark, sf):
     pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_cos_expr("qv", "v"), 4).alias("cosine"),
+        _rounded_cos("qv", "v").alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
     return (
@@ -321,55 +358,147 @@ def knn_bruteforce(spark, sf):
     )
 
 
-_ANN_BUCKET = "".join(
-    [
-        "CASE WHEN embedding[%d] >= 0 THEN '1' ELSE '0' END || " % (j + 1)
-        for j in range(8)
+# Multi-table random-hyperplane LSH (sign-random projections with
+# Achlioptas-style sparse {+1, 0, -1} coefficients — public knowledge:
+# Charikar SimHash + Achlioptas sparse random projections). The
+# coefficients come from a hand-rolled LCG so BOTH engines receive the
+# exact same literal hyperplanes; only the SIGN of the projection is
+# used, so the sqrt(3) Achlioptas scale is irrelevant.
+ANN_TABLES, ANN_BITS, ANN_DIM, ANN_BUCKET_CAP = 4, 8, 64, 64
+
+
+def _ann_hyperplanes(seed: int = 1234567):
+    """Deterministic sparse hyperplanes: per (table, bit) a list of
+    (1-based dim index, +1/-1) nonzero coefficients."""
+    state = seed & 0x7FFFFFFF
+    planes = []
+    for _t in range(ANN_TABLES):
+        tbl = []
+        for _j in range(ANN_BITS):
+            terms = []
+            for i in range(1, ANN_DIM + 1):
+                state = (1103515245 * state + 12345) & 0x7FFFFFFF
+                u = state / 0x7FFFFFFF
+                if u < 1 / 6:
+                    terms.append((i, 1))
+                elif u > 5 / 6:
+                    terms.append((i, -1))
+            if not terms:  # astronomically unlikely; keep the bit constant
+                terms.append((1, 1))
+            tbl.append(terms)
+        planes.append(tbl)
+    return planes
+
+
+_ANN_PLANES = _ann_hyperplanes()
+
+
+def _dot_terms(terms, elem):
+    """±v[i] sum with identical left-to-right fold order in both engines
+    (sign parity near zero requires bit-identical arithmetic)."""
+    parts = []
+    for n, (i, s) in enumerate(terms):
+        op = ("" if s > 0 else "-") if n == 0 else (" + " if s > 0 else " - ")
+        parts.append(f"{op}{elem(i)}")
+    return "".join(parts)
+
+
+def _ann_bucket_sql(tbl: int) -> str:
+    bits = [
+        f"CASE WHEN {_dot_terms(_ANN_PLANES[tbl][j], lambda i: f'v[{i}]')} >= 0"
+        " THEN '1' ELSE '0' END"
+        for j in range(ANN_BITS)
     ]
-)[:-4]
+    return " || ".join(bits)
+
+
+def _ann_bucket_spark(tbl: int):
+    bits = [
+        F.expr(
+            f"CASE WHEN {_dot_terms(_ANN_PLANES[tbl][j], lambda i: f'element_at(v, {i})')}"
+            " >= 0 THEN '1' ELSE '0' END"
+        )
+        for j in range(ANN_BITS)
+    ]
+    return F.concat(*bits)
+
 
 _ANN_SQL = f"""
-WITH bk AS (
-    SELECT vec_id, embedding, {_ANN_BUCKET} AS bucket FROM embeddings
+WITH vv AS (
+    SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+bands AS (
+    {" UNION ALL ".join(
+        f"SELECT vec_id, {t} AS tbl, {_ann_bucket_sql(t)} AS bucket FROM vv"
+        for t in range(ANN_TABLES)
+    )}
+),
+capped AS (
+    SELECT vec_id, tbl, bucket,
+           (row_number() OVER (PARTITION BY tbl, bucket
+                               ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1)
+               // {ANN_BUCKET_CAP} AS sub
+    FROM bands
 ),
 pairs AS (
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.embedding AS ea, b.embedding AS eb
-    FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM capped a JOIN capped b
+      ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.sub = b.sub
+         AND a.vec_id < b.vec_id
 ),
 vals AS (
-    SELECT vec_a, vec_b, CAST(unnest(ea) AS DOUBLE) AS xa, CAST(unnest(eb) AS DOUBLE) AS xb
-    FROM pairs
+    SELECT vec_a, vec_b, unnest(va.v) AS xa, unnest(vb.v) AS xb
+    FROM pairs JOIN vv va ON va.vec_id = vec_a JOIN vv vb ON vb.vec_id = vec_b
 )
 SELECT vec_a, vec_b,
-       round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) AS cosine
+       round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) + 0.0 AS cosine
 FROM vals GROUP BY vec_a, vec_b
 """
 
 
 @register("ann_lsh_bucketed", _ANN_SQL)
 def ann_lsh_bucketed(spark, sf):
-    """LSH-bucketed ANN scale path: sign-pattern bucket (axis-aligned
-    hyperplanes on the first 8 dims) → cosine only within buckets.
-    At 100 TB the bucket join replaces the all-pairs product."""
-    sign_bits = [
-        F.when(F.element_at("embedding", j + 1) >= 0, "1").otherwise("0") for j in range(8)
-    ]
+    """LSH-bucketed ANN scale path: L=ANN_TABLES seeded sparse
+    random-hyperplane tables (recall: a near-pair colliding in ANY
+    table becomes a candidate) with a per-bucket size cap — a hot
+    bucket (e.g. a degenerate all-positive embedding cluster) is
+    salted into sub-buckets of <= ANN_BUCKET_CAP rows, so the
+    within-bucket pair fan-out is bounded by cap^2 instead of going
+    quadratic in the bucket size. Candidate pairs are deduped across
+    tables with one groupBy; cosine runs only on candidates."""
+    from pyspark.sql import Window
+
     e = load(spark, sf, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> cast(x AS double))").alias("v"),
-        F.concat(*sign_bits).alias("bucket"),
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
     )
-    a, b = e.alias("a"), e.alias("b")
-    return (
+    bands = None
+    for t in range(ANN_TABLES):
+        bt = e.select(
+            "vec_id", F.lit(t).alias("tbl"), _ann_bucket_spark(t).alias("bucket")
+        )
+        bands = bt if bands is None else bands.unionByName(bt)
+    w = Window.partitionBy("tbl", "bucket").orderBy(F.md5(F.col("vec_id").cast("string")))
+    capped = bands.withColumn(
+        "sub", F.floor((F.row_number().over(w) - 1) / ANN_BUCKET_CAP)
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    pairs = (
         a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.sub") == F.col("b.sub"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            F.round(_cos_expr("a.v", "b.v"), 4).alias("cosine"),
-        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    return (
+        pairs.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", _rounded_cos("va", "vb").alias("cosine"))
     )
 
 
@@ -466,10 +595,9 @@ def token_count(spark, sf):
 _FPRINT_SQL = """
 WITH sh AS (
     SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS shingle
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
-          WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5),
-         (SELECT unnest(generate_series(1, 10000)) AS i)
-    WHERE i <= len(t) - 4
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5))
 )
 SELECT doc_id, min(md5(shingle)) AS fingerprint FROM sh GROUP BY doc_id
 """

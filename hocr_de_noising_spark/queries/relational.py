@@ -706,3 +706,59 @@ def window_range_frame(spark, sf):
         "user_id",
         F.count(F.lit(1)).over(w).alias("n_last_10min"),
     )
+
+
+@register(
+    "scalar_xml",
+    # The oracle emits the ground-truth values the XML was built from —
+    # DuckDB has no xpath, so correctness means Spark's construct →
+    # xpath-extract round-trips back to the source columns exactly.
+    """SELECT p_partkey,
+              p_name AS xml_name,
+              CAST(p_partkey AS VARCHAR) AS xml_key,
+              p_brand AS tag1,
+              p_type AS tag2,
+              CAST(2 AS INTEGER) AS n_tags
+       FROM part""",
+)
+def scalar_xml(spark, sf):
+    """§2.8 xml family: xpath_string / xpath over a synthesized XML
+    column (element text, attribute, positional predicate, node-set
+    count). The XML is built from part columns so the oracle can check
+    the extraction against the ground truth without an XML engine."""
+    xml = F.concat(
+        F.lit('<part key="'), F.col("p_partkey").cast("string"),
+        F.lit('"><name>'), F.col("p_name"),
+        F.lit('</name><tags><t>'), F.col("p_brand"),
+        F.lit("</t><t>"), F.col("p_type"),
+        F.lit("</t></tags></part>"),
+    )
+    return (
+        load(spark, sf, "part")
+        .withColumn("xml", xml)
+        .select(
+            "p_partkey",
+            F.expr("xpath_string(xml, '//name')").alias("xml_name"),
+            F.expr("xpath_string(xml, '//part/@key')").alias("xml_key"),
+            F.expr("xpath_string(xml, '//tags/t[1]')").alias("tag1"),
+            F.expr("xpath_string(xml, '//tags/t[2]')").alias("tag2"),
+            F.size(F.expr("xpath(xml, '//t/text()')")).alias("n_tags"),
+        )
+    )
+
+
+@register("agg_approx_percentile", None)  # sketch-based → rows-only by design
+def agg_approx_percentile(spark, sf):
+    """A2 scale variant: approx_percentile (quantile sketch — no
+    per-group sort, map-side combinable). The exact `agg_percentile`
+    key is the oracle-checked twin; this is the 100 TB default the
+    pipeline's Params.approx_stats switches to."""
+    return (
+        load(spark, sf, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx("l_extendedprice", 0.5, 10_000).alias("p50_price"),
+            F.percentile_approx("l_extendedprice", 0.95, 10_000).alias("p95_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

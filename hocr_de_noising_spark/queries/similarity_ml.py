@@ -47,7 +47,10 @@ def ivf_build_and_search(
         "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
     )
     ml = e.withColumn("features", array_to_vector("v"))
-    model = KMeans(k=nlist, seed=seed, featuresCol="features").fit(ml)
+    # maxIter=5: the coarse quantizer only needs rough cells — IVF
+    # recall comes from nprobe, not from KMeans convergence; a tight
+    # fit would just burn driver wall-clock at every scale.
+    model = KMeans(k=nlist, seed=seed, maxIter=5, featuresCol="features").fit(ml)
 
     # cell assignment for every vector (model.transform = broadcast of
     # nlist centroids; no shuffle)

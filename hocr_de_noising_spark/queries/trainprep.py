@@ -456,21 +456,18 @@ FROM vals GROUP BY vec_a, vec_b
 """
 
 
-@register("ann_lsh_bucketed", _ANN_SQL)
-def ann_lsh_bucketed(spark, sf):
-    """LSH-bucketed ANN scale path: L=ANN_TABLES seeded sparse
-    random-hyperplane tables (recall: a near-pair colliding in ANY
-    table becomes a candidate) with a per-bucket size cap — a hot
-    bucket (e.g. a degenerate all-positive embedding cluster) is
-    salted into sub-buckets of <= ANN_BUCKET_CAP rows, so the
-    within-bucket pair fan-out is bounded by cap^2 instead of going
-    quadratic in the bucket size. Candidate pairs are deduped across
-    tables with one groupBy; cosine runs only on candidates."""
+def ann_lsh_pairs(e):
+    """Core of the bucketed ANN over a (vec_id, v: array<double>)
+    DataFrame: L=ANN_TABLES seeded sparse random-hyperplane tables
+    (recall: a near-pair colliding in ANY table becomes a candidate)
+    with a per-bucket size cap — a hot bucket (e.g. a degenerate
+    cluster of identical embeddings) is salted into sub-buckets of
+    <= ANN_BUCKET_CAP rows, so the within-bucket pair fan-out is
+    bounded by cap^2 instead of going quadratic in the bucket size.
+    Candidate pairs are deduped across tables; cosine runs only on
+    candidates."""
     from pyspark.sql import Window
 
-    e = load(spark, sf, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
-    )
     bands = None
     for t in range(ANN_TABLES):
         bt = e.select(
@@ -500,6 +497,15 @@ def ann_lsh_bucketed(spark, sf):
         .join(vb, "vec_b")
         .select("vec_a", "vec_b", _rounded_cos("va", "vb").alias("cosine"))
     )
+
+
+@register("ann_lsh_bucketed", _ANN_SQL)
+def ann_lsh_bucketed(spark, sf):
+    """Registry entry for ann_lsh_pairs over the embeddings table."""
+    e = load(spark, sf, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    return ann_lsh_pairs(e)
 
 
 # ---------------------------------------------------------- text analysis --

@@ -1,0 +1,102 @@
+"""Scale-path guarantees: bounded fan-out in the dedup/ANN joins and
+the approx-percentile pipeline mode (the 100 TB defaults VERDICT r1
+asked for). These tests plant the degenerate inputs that would go
+quadratic without the caps."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.operators.pipeline import denoise_exploded
+from hocr_de_noising_spark.params import Params
+from hocr_de_noising_spark.queries import QUERIES
+from hocr_de_noising_spark.queries.trainprep import (
+    ANN_BUCKET_CAP,
+    ANN_TABLES,
+    JACCARD_DF_CAP,
+    ann_lsh_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jaccard_df_cap_filter_sits_below_the_self_join(spark):
+    """The document-frequency cap must run BEFORE the shingle self-join
+    (a filter above the join would not bound the pair fan-out)."""
+    df = QUERIES["dedup_ngram_jaccard"]["fn"](spark, SF)
+    p = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "CartesianProduct" not in p
+    # the df <= cap predicate exists and feeds the join inputs
+    assert f"<= {JACCARD_DF_CAP}" in p, p
+    join_pos = p.find("Join Inner")
+    filt_pos = p.rfind(f"<= {JACCARD_DF_CAP}")
+    assert join_pos != -1 and filt_pos > join_pos, (
+        "df-cap filter must appear below (after, in tree print order) the join"
+    )
+
+
+def test_ann_lsh_degenerate_cluster_is_bounded(spark):
+    """500 identical embeddings land in ONE bucket per table; the
+    per-bucket cap must salt them into sub-buckets so candidate pairs
+    stay ~cap^2 per sub-bucket instead of C(500,2)=124750."""
+    n = 500
+    vec = [float((i % 7) + 1) for i in range(64)]
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64), i -> cast(element_at(array("
+            + ",".join(str(x) for x in vec)
+            + "), i) AS double))"
+        ).alias("v"),
+    )
+    pairs = ann_lsh_pairs(e).count()
+    n_subs = -(-n // ANN_BUCKET_CAP)  # ceil
+    per_table_bound = n_subs * ANN_BUCKET_CAP * (ANN_BUCKET_CAP - 1) // 2
+    assert pairs <= ANN_TABLES * per_table_bound
+    assert pairs < 25_000 < n * (n - 1) // 2  # far from quadratic
+
+
+def test_ann_lsh_recall_on_planted_near_dups(spark):
+    """A planted near-identical pair must surface as a candidate in at
+    least one of the L tables (multi-table recall)."""
+    import random
+
+    rng = random.Random(7)
+    base = [rng.uniform(-1, 1) for _ in range(64)]
+    near = [x + 0.001 for x in base]
+    rows = [(0, base), (1, near)] + [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(2, 102)
+    ]
+    e = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    got = ann_lsh_pairs(e).filter((F.col("vec_a") == 0) & (F.col("vec_b") == 1)).count()
+    assert got == 1
+
+
+@pytest.mark.usefixtures("unit_dir")
+def test_approx_stats_pipeline_mode(spark, unit_dir):
+    """Params.approx_stats swaps exact percentile for the sketch; the
+    pipeline must run end-to-end and agree with exact mode on the vast
+    majority of documents (sketch returns elements, exact interpolates,
+    and the 60 px envelope tolerance absorbs most of that gap)."""
+    docs = spark.read.parquet(os.path.join(unit_dir, "docs.parquet"))
+    lexicon = spark.read.parquet(os.path.join(unit_dir, "lexicon.parquet"))
+    exact = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in denoise_exploded(docs, lexicon, Params()).collect()
+    }
+    approx = {
+        r.doc_id: [tuple(s) for s in r.spans]
+        for r in denoise_exploded(docs, lexicon, Params(approx_stats=True)).collect()
+    }
+    assert set(exact) == set(approx)
+    # measured on the unit corpus: ~70% of docs byte-identical, ~87%
+    # of spans shared — the gap is the documented element-vs-interpolated
+    # percentile difference at sparse margin coordinates
+    same = sum(1 for d in exact if exact[d] == approx[d])
+    assert same / len(exact) >= 0.6, f"only {same}/{len(exact)} docs identical"
+    n_exact = sum(len(v) for v in exact.values())
+    n_common = sum(len(set(exact[d]) & set(approx[d])) for d in exact)
+    assert n_common / n_exact >= 0.8, f"span overlap {n_common}/{n_exact}"

@@ -11,7 +11,10 @@ hash partitioning from the north rule. The job loop processes bucket
 GROUPS (n_groups sub-jobs) for resumability granularity; each group
 commit appends one manifest parquet file atomically, so a killed run
 resumes by skipping fully-committed groups and reprocessing at most
-one partial group (whose output dir is overwritten idempotently).
+one partial group. Output is laid out by bucket only (dynamic
+partition overwrite), so group membership — a function of n_groups —
+never appears on disk and resuming with a different n_groups stays
+idempotent. Per-group metrics ride the write action via df.observe.
 """
 
 from __future__ import annotations
@@ -97,6 +100,24 @@ class ManifestCheckpoint:
         return {r.bucket for r in rows}
 
 
+def _bucket_metric_exprs(group_buckets: list[int], spans_expr):
+    """Per-bucket conditional aggregates for df.observe: (n_docs_b,
+    n_spans_b) for each bucket of the group. observe cannot groupBy, so
+    group-local buckets become |group| conditional sums — 32 buckets per
+    group at production defaults, well within aggregate-expression
+    limits — evaluated DURING the write action (zero extra scans)."""
+    exprs = []
+    for b in group_buckets:
+        cond = F.col("bucket") == b
+        exprs.append(
+            F.coalesce(F.sum(F.when(cond, 1)), F.lit(0)).alias(f"docs_{b}")
+        )
+        exprs.append(
+            F.coalesce(F.sum(F.when(cond, spans_expr)), F.lit(0)).alias(f"spans_{b}")
+        )
+    return exprs
+
+
 def run_denoise_job(
     spark: SparkSession,
     docs: DataFrame,
@@ -115,11 +136,27 @@ def run_denoise_job(
     Processes n_groups bucket groups; skips groups whose buckets are all
     committed 'done' in the manifest. ``fail_after_group`` injects a
     crash for the resume test. Returns summary metrics.
+
+    Scale design (one action, one scan per group):
+    - metrics come from ``df.observe`` (CollectMetrics) nodes on the
+      input and output edges of the SAME write action — no re-read of
+      written output, no second aggregation pass over the input;
+    - output is partitioned by ``bucket`` ONLY (no group= layer) and
+      written with dynamic partition overwrite, so re-running a partial
+      group — or resuming with a DIFFERENT n_groups — replaces exactly
+      its own bucket directories and can never leave stale duplicates;
+    - if ``docs`` already carries a ``bucket`` column (input bucketed
+      at rest, e.g. read from a bucket-partitioned table), it is reused
+      verbatim: the per-group filter then prunes at the parquet scan
+      (PartitionFilters) instead of scanning the full input n_groups
+      times. Otherwise the bucket is computed on the fly and each group
+      pass scans the input once (document-level filter).
     """
+    from pyspark.sql import Observation
+
     from hocr_de_noising_spark.operators.pipeline import (
         denoise_exploded,
         denoise_fused,
-        denoise_hybrid,
     )
 
     p = params or Params()
@@ -130,8 +167,12 @@ def run_denoise_job(
     if variant in ("fused", "hybrid"):
         lex_tokens = [r.token for r in lexicon_df.select("token").distinct().collect()]
 
-    docs_b = docs.withColumn("bucket", bucket_col("doc_id", p))
+    if "bucket" in docs.columns:
+        docs_b = docs  # bucketed at rest → scan-time partition pruning
+    else:
+        docs_b = docs.withColumn("bucket", bucket_col("doc_id", p))
     group_of = F.col("bucket") % n_groups
+    n_spans_in_expr = F.coalesce(F.size("spans"), F.lit(0))
     summary = {"groups_run": 0, "groups_skipped": 0, "n_docs": 0}
 
     for g in range(n_groups):
@@ -141,52 +182,64 @@ def run_denoise_job(
             continue
 
         part = docs_b.filter(group_of == g)
-        if variant == "fused":
-            out = denoise_fused(part.drop("bucket"), lex_tokens, p)
-        elif variant == "exploded":
-            out = denoise_exploded(part.drop("bucket"), lexicon_df, p)
-        else:  # hybrid: python path for normal docs, JVM path for giants
-            out = denoise_hybrid(part.drop("bucket"), lexicon_df, lex_tokens, p)
 
-        out = out.withColumn("bucket", bucket_col("doc_id", p))
-        group_dir = os.path.join(out_dir, f"group={g}")
+        # input-side observations: one per pipeline branch (a single
+        # observe node consumed by two union branches would be evaluated
+        # twice), merged by summation below
+        in_obs: list[Observation] = []
+
+        def observed(df: DataFrame) -> DataFrame:
+            o = Observation()
+            in_obs.append(o)
+            return df.observe(o, *_bucket_metric_exprs(group_buckets, n_spans_in_expr))
+
+        if variant == "fused":
+            out = denoise_fused(observed(part).drop("bucket"), lex_tokens, p)
+        elif variant == "exploded":
+            out = denoise_exploded(observed(part).drop("bucket"), lexicon_df, p)
+        else:  # hybrid: python path for normal docs, JVM path for giants
+            small = observed(part.filter(n_spans_in_expr <= p.max_spans_per_doc))
+            big = observed(part.filter(n_spans_in_expr > p.max_spans_per_doc))
+            out = denoise_fused(small.drop("bucket"), lex_tokens, p).unionByName(
+                denoise_exploded(big.drop("bucket"), lexicon_df, p)
+            )
+
+        out_obs = Observation()
+        out = out.withColumn("bucket", bucket_col("doc_id", p)).observe(
+            out_obs, *_bucket_metric_exprs(group_buckets, F.size("spans"))
+        )
         (
             out.repartition(F.col("bucket"))
             .sortWithinPartitions("bucket", "doc_id")
             .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("bucket")
-            .parquet(group_dir)
+            .parquet(out_dir)
         )
 
-        # per-bucket metrics from the written output + the input slice
-        in_stats = {
-            r.bucket: r
-            for r in part.groupBy("bucket")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum(F.size("spans")).alias("n_spans_in"),
-            )
-            .collect()
-        }
-        out_stats = {
-            r.bucket: r
-            for r in spark.read.parquet(group_dir)
-            .groupBy("bucket")
-            .agg(F.sum(F.size("spans")).alias("n_spans_out"))
-            .collect()
-        }
+        # observation values are available once the write action above
+        # finishes — the ONLY job this group runs. A branch AQE proved
+        # empty gets its CollectMetrics node pruned and never reports;
+        # an empty branch has all-zero metrics by definition.
+        def obs_get(o: Observation) -> dict:
+            try:
+                return o.get
+            except Exception:
+                return {}
+
+        in_vals = [obs_get(o) for o in in_obs]
+        out_vals = obs_get(out_obs)
         now = int(time.time() * 1e6)
         rows = []
         for b in group_buckets:
-            i = in_stats.get(b)
-            o = out_stats.get(b)
-            n_in = int(i.n_spans_in) if i else 0
-            n_out = int(o.n_spans_out) if o else 0
+            n_docs = sum(int(v.get(f"docs_{b}", 0)) for v in in_vals)
+            n_in = sum(int(v.get(f"spans_{b}", 0)) for v in in_vals)
+            n_out = int(out_vals.get(f"spans_{b}", 0))
             rows.append(
                 {
                     "run_id": run_id,
                     "bucket": b,
-                    "n_docs": int(i.n_docs) if i else 0,
+                    "n_docs": n_docs,
                     "n_spans_in": n_in,
                     "n_spans_out": n_out,
                     "n_noise_dropped": n_in - n_out,
@@ -199,7 +252,7 @@ def run_denoise_job(
             )
         ckpt.append_rows(rows)
         summary["groups_run"] += 1
-        summary["n_docs"] += sum(int(i.n_docs) for i in in_stats.values())
+        summary["n_docs"] += sum(r["n_docs"] for r in rows)
 
         if fail_after_group is not None and g >= fail_after_group:
             raise RuntimeError(f"injected failure after group {g}")

@@ -13,6 +13,9 @@ streaming engine (offset tracking, state store, watermarks).
 
 from __future__ import annotations
 
+import os
+from typing import Callable
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,6 +30,25 @@ EVENTS_DDL = (
     "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
+
+
+def make_denoise_sink(
+    output_dir: str, lexicon_tokens: list[str], params: Params
+) -> Callable[[DataFrame, int], None]:
+    """Idempotent foreachBatch sink: each micro-batch overwrites its own
+    ``batch_id=N`` directory, so a batch retried after a partial write
+    replaces its output instead of appending duplicates — this is what
+    upgrades foreachBatch's at-least-once re-delivery to exactly-once
+    OUTPUT (the offset log in the checkpoint already makes the input
+    side exactly-once). Readers see batch_id as a partition column."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = denoise_fused(batch_df, lexicon_tokens, params)
+        out.write.mode("overwrite").parquet(
+            os.path.join(output_dir, f"batch_id={batch_id}")
+        )
+
+    return sink
 
 
 def incremental_denoise_stream(
@@ -47,11 +69,7 @@ def incremental_denoise_stream(
     """
     p = params or Params()
     stream = spark.readStream.schema(DOCS_DDL).parquet(input_dir)
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        out = denoise_fused(batch_df, lexicon_tokens, p)
-        out.write.mode("append").parquet(output_dir)
-
+    sink = make_denoise_sink(output_dir, lexicon_tokens, p)
     q = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)

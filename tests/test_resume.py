@@ -81,3 +81,73 @@ def test_params_change_invalidates_resume(spark, loaded, tmp_path):
     p2 = Params(n_buckets=16, tau_wconf=50)
     done = ManifestCheckpoint(m_dir).completed_buckets(spark, "r1", params_hash(p2))
     assert done == set()
+
+
+def test_sparse_input_empty_groups_do_not_crash(spark, loaded, tmp_path):
+    """ADVICE r1: a bucket group with zero docs used to crash the
+    metrics read-back (UNABLE_TO_INFER_SCHEMA). With observe-based
+    metrics the group commits zero rows instead."""
+    docs, lexicon, _ = loaded
+    one = docs.limit(1)
+    p = Params(n_buckets=16)
+    summary = run_denoise_job(
+        spark, one, lexicon, str(tmp_path / "out"), str(tmp_path / "m"),
+        params=p, run_id="r1", n_groups=4,
+    )
+    assert summary["groups_run"] == 4 and summary["n_docs"] == 1
+    m = ManifestCheckpoint(str(tmp_path / "m")).read(spark).collect()
+    assert len(m) == 16
+    assert sum(r.n_docs for r in m) == 1
+    assert all(r.n_spans_out <= r.n_spans_in for r in m)
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 1
+
+
+def test_regroup_resume_is_idempotent(spark, loaded, tmp_path):
+    """ADVICE r1: output is keyed by bucket only, so resuming the same
+    run with a DIFFERENT n_groups must not leave stale duplicates."""
+    docs, lexicon, golden = loaded
+    p = Params(n_buckets=16)
+    out_dir, m_dir = str(tmp_path / "out"), str(tmp_path / "m")
+    run_denoise_job(spark, docs, lexicon, out_dir, m_dir, params=p,
+                    run_id="r1", n_groups=4)
+    # same lineage, different grouping: all buckets done → all skipped
+    s2 = run_denoise_job(spark, docs, lexicon, out_dir, m_dir, params=p,
+                         run_id="r1", n_groups=2)
+    assert s2["groups_skipped"] == 2 and s2["groups_run"] == 0
+    # force re-run under the new grouping (fresh run id): buckets are
+    # dynamically overwritten in place, never duplicated
+    run_denoise_job(spark, docs, lexicon, out_dir, m_dir, params=p,
+                    run_id="r2", n_groups=2)
+    out = _read_all(spark, out_dir)
+    assert out.count() == docs.count()
+    assert out.groupBy("doc_id").count().filter("count > 1").count() == 0
+    j = out.alias("o").join(golden.alias("g"), "doc_id", "full_outer")
+    assert j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count() == 0
+
+
+def test_bucketed_input_prunes_at_scan(spark, loaded, tmp_path):
+    """Input bucketed at rest (bucket partition column) → the per-group
+    filter reaches the parquet scan as a PartitionFilter instead of
+    rescanning the full corpus once per group."""
+    from hocr_de_noising_spark.checkpoint import bucket_col
+
+    docs, lexicon, golden = loaded
+    p = Params(n_buckets=16)
+    at_rest = str(tmp_path / "bucketed")
+    docs.withColumn("bucket", bucket_col("doc_id", p)).write.partitionBy(
+        "bucket"
+    ).parquet(at_rest)
+    bucketed = spark.read.parquet(at_rest)
+
+    part = bucketed.filter(F.col("bucket") % 4 == 1)
+    plan = part._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "% 4" in plan
+
+    summary = run_denoise_job(
+        spark, bucketed, lexicon, str(tmp_path / "out"), str(tmp_path / "m"),
+        params=p, run_id="r1", n_groups=4,
+    )
+    assert summary["groups_run"] == 4
+    out = _read_all(spark, str(tmp_path / "out"))
+    j = out.alias("o").join(golden.alias("g"), "doc_id", "full_outer")
+    assert j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count() == 0

@@ -115,3 +115,22 @@ def test_stateful_streaming_dedup(spark, sf001_dir, stream_dirs):
     out = spark.read.parquet(stream_dirs["out"])
     assert out.count() == events.count()  # exactly one copy per event_id
     assert out.select("event_id").distinct().count() == events.count()
+
+
+def test_sink_retry_is_idempotent(spark, unit_dir, stream_dirs):
+    """A micro-batch re-delivered with the same batch_id (foreachBatch
+    retry after partial failure) must overwrite, not duplicate."""
+    from hocr_de_noising_spark.params import Params
+    from hocr_de_noising_spark.streaming.incremental import make_denoise_sink
+
+    docs = spark.read.parquet(os.path.join(unit_dir, "docs.parquet")).limit(20)
+    lexicon = spark.read.parquet(os.path.join(unit_dir, "lexicon.parquet"))
+    tokens = [r.token for r in lexicon.select("token").collect()]
+    sink = make_denoise_sink(stream_dirs["out"], tokens, Params())
+    sink(docs, 0)
+    sink(docs, 0)  # retry of the same batch
+    out = spark.read.parquet(stream_dirs["out"])
+    assert out.count() == 20
+    assert out.select("doc_id").distinct().count() == 20
+    sink(docs, 1)  # a new batch appends alongside
+    assert spark.read.parquet(stream_dirs["out"]).count() == 40

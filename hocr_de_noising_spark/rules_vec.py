@@ -32,6 +32,54 @@ from hocr_de_noising_spark.rules_np import (
 _ALPHA_COUNT_RE = r"[^\W\d_]"
 
 
+def has_repeat_run(tokens: pd.Series, k: int) -> np.ndarray:
+    """Vectorized equivalent of the backref regex ``(.)\\1{k-1,}``
+    (>= k identical consecutive chars), which pandas can only evaluate
+    per-row through Python's re engine (pyarrow strings / RE2 reject
+    backrefs — the slowest string op in the fused hot path per r1).
+
+    Batch trick: join all tokens with a NUL separator, view the UTF-32
+    encoding as a uint32 array, AND together k-1 shifted equality masks
+    — one C pass over the batch's characters. The separator (code 0)
+    breaks cross-token runs and is masked so empty tokens can never
+    produce a separator run."""
+    n = len(tokens)
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    vals = tokens.fillna("").to_numpy(dtype=object)
+    lens = np.fromiter((len(t) for t in vals), dtype=np.int64, count=n)
+    out = np.zeros(n, dtype=bool)
+    if int(lens.max(initial=0)) < k:
+        return out
+    joined = "\x00".join(vals)
+    if joined.count("\x00") != n - 1:
+        # a token contains a literal NUL (never happens in OCR text,
+        # but correctness first): fall back to the per-row regex
+        import re
+
+        rx = re.compile(r"(.)\1{%d,}" % (k - 1))
+        return np.fromiter(
+            (bool(rx.search(t)) for t in vals), dtype=bool, count=n
+        )
+    arr = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    eq = arr[1:] == arr[:-1]
+    w = k - 1  # run of k chars == k-1 consecutive equal-neighbor pairs
+    if len(eq) < w:
+        return out
+    run = eq[: len(eq) - w + 1].copy()
+    for j in range(1, w):
+        run &= eq[j : len(eq) - w + 1 + j]
+    run &= arr[: len(run)] != 0  # never start a run on the separator
+    hits = np.flatnonzero(run)
+    if len(hits):
+        # char index -> token index: token i ends (exclusive, incl its
+        # separator) at cumsum(lens+1)[i]; a hit can never sit on a
+        # separator, so right-bisect gives its owning token directly
+        offsets = np.cumsum(lens + 1)
+        out[np.searchsorted(offsets, hits, side="right")] = True
+    return out
+
+
 def normalize_series(s: pd.Series) -> pd.Series:
     for lig, exp in LIGATURES.items():
         s = s.str.replace(lig, exp, regex=False)
@@ -119,9 +167,7 @@ def denoise_batch(
         )
     f_wconf = parse_ok & (wconf < p.tau_wconf)
     f_nonalpha = parse_ok & (nonalpha_ratio > p.max_nonalpha_ratio)
-    f_repeat = parse_ok & token.str.contains(
-        r"(.)\1{%d,}" % (p.repeat_run_len - 1), regex=True, na=False
-    ).to_numpy()
+    f_repeat = parse_ok & has_repeat_run(token, p.repeat_run_len)
     f_toolong = parse_ok & (tok_len.fillna(0).to_numpy() > p.max_token_len)
     with np.errstate(invalid="ignore", divide="ignore"):
         aspect_bad = (h > 0) & (w_px / h > p.max_aspect)

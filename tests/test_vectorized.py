@@ -90,3 +90,46 @@ def test_alpha_count_predicate_parity():
     )
     for ch in probe:
         assert bool(rx.match(ch)) == ch.isalpha(), repr(ch)
+
+
+def test_has_repeat_run_matches_backref_regex():
+    """The numpy run detector must agree with the re backref on
+    adversarial strings: runs at start/middle/end, separator NULs,
+    empties, NaNs, unicode (incl. long-s), and near-miss runs."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from hocr_de_noising_spark.rules_vec import has_repeat_run
+
+    cases = [
+        "aaaa", "aaab", "abaaaa", "xaaaay", "aaa", "", "a", "ab",
+        "aabbccdd", "aabbbbcc", "ſſſſ", "ſſſ", "œœœœz", "ab\x00\x00ab",
+        "zzzz" * 3, "abcd" * 10, "x" * 40, "xy" * 20, None, "    ",
+        "a-aaa-a", "....", "..", "1111", "no repeats here",
+    ]
+    for k in (2, 3, 4, 5):
+        rx = re.compile(r"(.)\1{%d,}" % (k - 1))
+        s = pd.Series(cases, dtype=object)
+        got = has_repeat_run(s, k)
+        want = np.array([bool(rx.search(c)) if c is not None else False for c in cases])
+        assert (got == want).all(), (k, [c for c, g, w in zip(cases, got, want) if g != w])
+
+
+def test_has_repeat_run_random_parity():
+    import random
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from hocr_de_noising_spark.rules_vec import has_repeat_run
+
+    rng = random.Random(99)
+    alpha = "abſc. -"
+    cases = ["".join(rng.choice(alpha) for _ in range(rng.randint(0, 12))) for _ in range(2000)]
+    rx = re.compile(r"(.)\1{3,}")
+    got = has_repeat_run(pd.Series(cases, dtype=object), 4)
+    want = np.array([bool(rx.search(c)) for c in cases])
+    assert (got == want).all()

@@ -11,8 +11,9 @@ engines — the DuckDB oracle verifies values, not just shapes.
 Scale notes (100 TB design):
 - shingle explosion is bounded per doc; the minhash group-by is a
   single shuffle keyed (doc_id, seed) with map-side partial min;
-- candidate-pair generation joins on (band, bucket) — the classic LSH
-  bucket join — so no all-pairs product ever materializes;
+- candidate-pair generation is star pairing within each (band, bucket)
+  — one window, no self-join — so no all-pairs product ever
+  materializes and a hot bucket stays linear;
 - embedding ops keep the dot product inside JVM higher-order
   functions (zip_with/aggregate), no Python in the hot path;
 - the brute-force kNN broadcasts the (small) query side.
@@ -65,10 +66,12 @@ bands AS (
     SELECT doc_id, seed // {BAND_ROWS} AS band,
            md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
     FROM mh GROUP BY doc_id, seed // {BAND_ROWS}
+),
+reps AS (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
+    FROM bands
 )
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b
-  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM reps WHERE doc_id <> rep
 """
 
 
@@ -95,11 +98,19 @@ def _shingles(spark, sf, n: int = 3):
 @register("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates: shingle → 16 md5 minhashes →
-    2-row bands → bucket join. md5 keeps signatures engine-portable.
+    2-row bands → star pairing within each band bucket. md5 keeps
+    signatures engine-portable.
 
     The 16 minhashes are computed as COLUMNS of one pass over the
     shingles (16 md5 expressions + a single groupBy with 16 min
-    aggregates) — no 16x row explosion, map-side partial min."""
+    aggregates) — no 16x row explosion, map-side partial min.
+
+    Candidate pairs are (bucket representative = min doc_id, member):
+    a hot bucket of n true duplicates emits n-1 pairs instead of the
+    n(n-2)/2 of an all-pairs self-join, while keeping exactly the same
+    connected components for the union-find dedup step — the standard
+    large-corpus MinHash trade. This also removes the self-join
+    entirely: ONE window over (band, bucket) and a distinct."""
     sh = _shingles(spark, sf, 3)
     mh_cols = [
         F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
@@ -125,15 +136,11 @@ def dedup_minhash_lsh(spark, sf):
     bands = sig.select(
         "doc_id", F.explode(band_structs).alias("bb")
     ).select("doc_id", "bb.band", "bb.bucket")
-    a, b = bands.alias("a"), bands.alias("b")
+    w = Window.partitionBy("band", "bucket")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        bands.withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") != F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
         .distinct()
     )
 

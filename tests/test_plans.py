@@ -80,8 +80,10 @@ def test_topk_uses_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan_str(df)
 
 
-def test_lsh_candidate_join_is_equi_not_cross(spark):
+def test_lsh_candidates_need_no_self_join(spark):
+    # star pairing: ONE window over (band, bucket), no join at all —
+    # linear in bucket size even when a bucket holds 10^6 duplicates
     df = QUERIES["dedup_minhash_lsh"]["fn"](spark, SF)
     p = plan_str(df)
-    assert "CartesianProduct" not in p
-    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "Join" not in p
+    assert "Window" in p

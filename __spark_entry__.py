@@ -43,6 +43,7 @@ _PRIORITY = [
     "dedup_embed_cosine",
     "ann_lsh_bucketed",
     "dedup_ngram_jaccard",
+    "dedup_components",
 ]
 
 # Conversely: if the cutoff is a hard key-count cap, whatever sits at

@@ -622,3 +622,83 @@ def doc_fingerprint(spark, sf):
     shingles (rolling window via JVM transform/slice)."""
     sh = _shingles(spark, sf, 5)
     return sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("fingerprint"))
+
+
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE pairs AS ({_MINHASH_SQL}),
+e AS (
+    SELECT doc_a AS a, doc_b AS b FROM pairs
+    UNION SELECT doc_b, doc_a FROM pairs
+),
+walk(a, b) AS (
+    SELECT a, b FROM e
+    UNION
+    SELECT walk.a, e.b FROM walk JOIN e ON walk.b = e.a WHERE e.b <> walk.a
+)
+SELECT a AS doc_id, least(a, min(b)) AS component
+FROM walk GROUP BY a
+"""
+
+
+def connected_components(pairs, max_iters: int = 20):
+    """Connected components over an undirected (doc_a, doc_b) pair
+    graph by iterative min-label propagation: every doc's label
+    converges to the smallest doc_id in its component — the canonical
+    representative the union-find dedup step keeps.
+
+    Each iteration is one equi join + groupBy (label of each node's
+    neighborhood minimum); ``localCheckpoint`` truncates the growing
+    lineage so the plan stays O(1) per iteration. Convergence is
+    checked with a count of changed labels; star-shaped LSH candidate
+    graphs converge in a handful of rounds. (At 10^12-doc scale the
+    published refinement is alternating large-star/small-star
+    [Kiveris et al., "Connected Components in MapReduce"], which this
+    simple propagation degrades to gracefully — same join shape.)"""
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("a").distinct().select(
+        F.col("a").alias("doc_id"), F.col("a").alias("component")
+    ).localCheckpoint()
+    for _ in range(max_iters):
+        nbr = (
+            edges.join(
+                labels.select(
+                    F.col("doc_id").alias("b"), F.col("component").alias("nlabel")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nlabel").alias("min_nbr"))
+        )
+        new_labels = (
+            labels.join(nbr, labels.doc_id == nbr.a, "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("component"), F.coalesce("min_nbr", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+@register("dedup_components", _COMPONENTS_SQL)
+def dedup_components(spark, sf):
+    """Dedup cluster assignment: connected components over the MinHash
+    LSH candidate pairs (doc_id -> min doc_id of its near-dup cluster).
+    Iterative — the DuckDB oracle is the equivalent recursive CTE."""
+    return connected_components(dedup_minhash_lsh(spark, sf))

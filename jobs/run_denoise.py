@@ -38,6 +38,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--variant", choices=("hybrid", "fused", "exploded"), default="hybrid")
     ap.add_argument("--catalog", choices=("parquet", "iceberg"), default="parquet")
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--approx-stats",
+        action="store_true",
+        help="sketch-based page percentiles (X2/X3) — the 100 TB default;"
+        " exact interpolation is the golden-exact default here",
+    )
     args = ap.parse_args(argv)
 
     params = Params(
@@ -45,6 +51,7 @@ def main(argv: list[str] | None = None) -> None:
         mode=args.mode,
         n_buckets=args.buckets,
         salt=args.salt,
+        approx_stats=args.approx_stats,
     )
     spark = get_spark("hocr-denoise-job", cores=args.cores)
     catalog = Catalog(args.catalog)

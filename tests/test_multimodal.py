@@ -101,3 +101,42 @@ def test_enrich_spans_preserves_doc_count(spark, unit_dir, media_df):
     media = s.filter(F.col("s.media_ref").isNotNull())
     assert media.filter(~F.col("s.decode_ok")).count() == 0
     assert s.filter(F.col("s.media_ref").isNull() & F.col("s.width").isNotNull()).count() == 0
+
+
+def test_arrow_batch_bounds_binary_heavy_rows(spark):
+    """The 100 TB risk for media columns is an Arrow batch whose BYTES
+    blow executor memory even when its row count looks small. Evidence:
+    with maxRecordsPerBatch=8, 64 rows of 256 KiB binary payload arrive
+    in batches of <= 8 rows (<= ~2 MiB each) — the knob that sizes
+    worker memory for binary-heavy row groups."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    payload = b"\xab" * (256 * 1024)
+    rows = [(f"m{i:04d}", "image", payload) for i in range(64)]
+    df = spark.createDataFrame(rows, "media_ref string, media_type string, content binary")
+
+    def shapes(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "rows": [len(pdf)],
+                    "batch_bytes": [int(pdf["content"].map(len).sum())],
+                }
+            )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", 8)
+    try:
+        got = df.repartition(2).mapInPandas(shapes, "rows int, batch_bytes long").collect()
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert sum(r.rows for r in got) == 64
+    assert max(r.rows for r in got) <= 8
+    assert max(r.batch_bytes for r in got) <= 8 * 256 * 1024
+    # decode path handles the same binary-heavy batches
+    from hocr_de_noising_spark.operators.multimodal import decode_media
+
+    dec = decode_media(df).collect()
+    assert len(dec) == 64 and all(not r.decode_ok for r in dec)  # not FAKE containers

@@ -44,6 +44,7 @@ _PRIORITY = [
     "ann_lsh_bucketed",
     "dedup_ngram_jaccard",
     "dedup_components",
+    "text_scrub",
 ]
 
 # Conversely: if the cutoff is a hard key-count cap, whatever sits at

@@ -702,3 +702,28 @@ def dedup_components(spark, sf):
     LSH candidate pairs (doc_id -> min doc_id of its near-dup cluster).
     Iterative — the DuckDB oracle is the equivalent recursive CTE."""
     return connected_components(dedup_minhash_lsh(spark, sf))
+
+
+@register(
+    "text_scrub",
+    """SELECT doc_id,
+              trim(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+                                  ' +', ' ', 'g')) AS scrubbed,
+              CAST(len(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_masked
+       FROM documents WHERE text IS NOT NULL""",
+)
+def text_scrub(spark, sf):
+    """Training-data scrubbing pass: mask digit runs (the PII-redaction
+    shape — swap the pattern for emails/SSNs/URLs in a real corpus),
+    collapse whitespace, and count masked sites. Pure JVM regexp —
+    one map-side pass, no shuffle."""
+    masked = F.regexp_replace("text", "[0-9]+", "<NUM>")
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.trim(F.regexp_replace(masked, " +", " ")).alias("scrubbed"),
+            F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_masked"),
+        )
+    )

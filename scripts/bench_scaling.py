@@ -28,11 +28,18 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_bench(cpus: int) -> dict:
+def run_bench(cpus: int, pin: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
+    cmd = [sys.executable, os.path.join(REPO, "bench.py")]
+    if pin:
+        # Pin the WHOLE process tree (JVM + python workers, which
+        # inherit affinity) to exactly `cpus` cores. Without this the
+        # local[N] leg quietly uses ~2N cores — N JVM threads plus N
+        # python worker PROCESSES — which deflates the measured N->4N
+        # ratio below the true executor-scaling value.
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
     for line in out.stdout.splitlines():
         if line.startswith("{"):
@@ -45,13 +52,15 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2, help="runs per level (best kept)")
     ap.add_argument("--levels", type=int, nargs=2, default=(4, 16),
                     help="N and 4N core counts")
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset-pin each leg's process tree to exactly N cores")
     args = ap.parse_args()
     lo, hi = args.levels
 
     results = {}
     for _ in range(args.runs):
         for cpus in (lo, hi):  # interleaved to decorrelate host-load drift
-            r = run_bench(cpus)
+            r = run_bench(cpus, pin=args.pin)
             best = results.get(cpus)
             if best is None or r["denoise_docs_per_sec"] > best["denoise_docs_per_sec"]:
                 results[cpus] = r
@@ -85,8 +94,9 @@ def main() -> None:
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     os.makedirs(os.path.dirname(md), exist_ok=True)
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
+    pin_note = ", taskset-pinned" if args.pin else ""
     lines = [
-        f"\n## Run {stamp} (levels {lo}/{hi}, best of {args.runs} interleaved runs/level)\n",
+        f"\n## Run {stamp} (levels {lo}/{hi}, best of {args.runs} interleaved runs/level{pin_note})\n",
         f"| metric | local[{lo}] (N) | local[{hi}] (4N) | efficiency |",
         "| --- | --- | --- | --- |",
         f"| de-noise throughput (docs/sec, 200k-doc corpus w/ skew plants; variant={headline}) | {thr8} | {thr32} | **{eff:.3f}** |",

@@ -45,6 +45,7 @@ _PRIORITY = [
     "dedup_ngram_jaccard",
     "dedup_components",
     "text_scrub",
+    "sample_split",
 ]
 
 # Conversely: if the cutoff is a hard key-count cap, whatever sits at

@@ -727,3 +727,23 @@ def text_scrub(spark, sf):
             F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_masked"),
         )
     )
+
+
+@register(
+    "sample_split",
+    """SELECT doc_id,
+              CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                   ELSE 'test' END AS split
+       FROM documents""",
+)
+def sample_split(spark, sf):
+    """Deterministic train/val/test assignment by content-independent
+    doc_id hash (~75/12.5/12.5 by first md5 hex nibble) — the standard
+    leakage-free corpus split: stable across reruns and cluster sizes,
+    no sampling state, no shuffle (pure map-side)."""
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return load(spark, sf, "documents").select(
+        "doc_id",
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test").alias("split"),
+    )

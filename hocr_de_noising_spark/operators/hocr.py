@@ -16,7 +16,7 @@ from html.parser import HTMLParser
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 WORDS_SCHEMA = (
@@ -190,3 +190,131 @@ def hocr_words_to_spans(words: DataFrame) -> DataFrame:
             )
         )
     )
+
+
+# --------------------------------------------------------- JVM fast path --
+
+# Tesseract-shaped ocrx_word element (both quote styles); the six
+# capture groups stay positionally aligned across regexp_extract_all
+# calls because they come from the SAME pattern.
+_WORD_RE = (
+    r"""class=["']ocrx_word["'][^>]*"""
+    r"""title=["']bbox (\d+) (\d+) (\d+) (\d+); x_wconf (\d+)["'][^>]*>"""
+    r"""([^<]*)</span>"""
+)
+_LINE_SPLIT = r"""<span class=["']ocr_line"""
+_LINE_META_RE = (
+    r"""^[^>]*title=["']bbox \d+ \d+ \d+ \d+; """
+    r"""baseline ([-\d.]+) ([-\d.]+); x_size ([\d.]+)"""
+)
+
+
+def parse_hocr_jvm(
+    df: DataFrame, doc_col: str = "doc_id", hocr_col: str = "hocr"
+) -> DataFrame:
+    """X1 fast path: WELL-FORMED Tesseract hOCR tokenized entirely
+    JVM-side — split pages on ocr_line openings, pull the six word
+    fields with aligned regexp_extract_all arrays, zip + posexplode,
+    and reconstruct carea/par ancestry from cumulative marker counts.
+    Zero Python in the scan stage (whole-stage codegen up to the two
+    per-doc windows), which is what you want for the first full-corpus
+    pass at 10^12 documents. Malformed pages that would confuse the
+    regexes belong on the tolerant ``parse_hocr`` path — use
+    ``parse_hocr_auto`` to route."""
+    w_doc = Window.partitionBy(doc_col).orderBy("chunk_pos")
+    cum_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+
+    chunks = (
+        df.select(
+            doc_col,
+            F.posexplode(F.split(F.col(hocr_col), _LINE_SPLIT)).alias(
+                "chunk_pos", "chunk"
+            ),
+        )
+        # markers OPENED in a chunk apply to the NEXT line chunk
+        .withColumn(
+            "n_carea", F.size(F.split("chunk", r"""<div class=["']ocr_carea""")) - 1
+        )
+        .withColumn(
+            "n_par", F.size(F.split("chunk", r"""<p class=["']ocr_par""")) - 1
+        )
+        .withColumn("carea_id", F.coalesce(F.sum("n_carea").over(cum_prev), F.lit(0)) - 1)
+        .withColumn("par_glob", F.coalesce(F.sum("n_par").over(cum_prev), F.lit(0)) - 1)
+        .filter(F.col("chunk_pos") > 0)  # chunk 0 = page preamble
+    )
+    w_carea = Window.partitionBy(doc_col, "carea_id")
+    w_par = Window.partitionBy(doc_col, "carea_id", "par_glob").orderBy("chunk_pos")
+    lines = (
+        chunks.withColumn("par_id", F.col("par_glob") - F.min("par_glob").over(w_carea))
+        .withColumn("line_id", F.row_number().over(w_par) - 1)
+        .withColumn("baseline_a", F.regexp_extract("chunk", _LINE_META_RE, 1).cast("double"))
+        .withColumn("baseline_b", F.regexp_extract("chunk", _LINE_META_RE, 2).cast("double"))
+        .withColumn("x_size", F.regexp_extract("chunk", _LINE_META_RE, 3).cast("double"))
+    )
+    groups = {
+        "x0": 1, "y0": 2, "x1": 3, "y1": 4, "wconf": 5, "token": 6,
+    }
+    arrays = lines.select(
+        doc_col,
+        "chunk_pos",
+        "carea_id",
+        "par_id",
+        "line_id",
+        "baseline_a",
+        "baseline_b",
+        "x_size",
+        *[
+            F.regexp_extract_all("chunk", F.lit(_WORD_RE), g).alias(f"a_{name}")
+            for name, g in groups.items()
+        ],
+    )
+    words = arrays.select(
+        doc_col,
+        "chunk_pos",
+        "carea_id",
+        "par_id",
+        "line_id",
+        "baseline_a",
+        "baseline_b",
+        "x_size",
+        F.posexplode(
+            F.arrays_zip(*[F.col(f"a_{n}").alias(n) for n in groups])
+        ).alias("word_id", "w"),
+    )
+    w_order = Window.partitionBy(doc_col).orderBy("chunk_pos", "word_id")
+    return words.select(
+        doc_col,
+        F.col("carea_id").cast("int"),
+        F.col("par_id").cast("int"),
+        F.col("line_id").cast("int"),
+        F.col("word_id").cast("int"),
+        (F.row_number().over(w_order) - 1).cast("int").alias("order"),
+        F.trim(F.col("w.token")).alias("token"),
+        F.col("w.x0").cast("int").alias("x0"),
+        F.col("w.y0").cast("int").alias("y0"),
+        F.col("w.x1").cast("int").alias("x1"),
+        F.col("w.y1").cast("int").alias("y1"),
+        F.col("w.wconf").cast("int").alias("wconf"),
+        "baseline_a",
+        "baseline_b",
+        "x_size",
+    )
+
+
+def parse_hocr_auto(
+    df: DataFrame, doc_col: str = "doc_id", hocr_col: str = "hocr"
+) -> DataFrame:
+    """Route each page to the JVM fast path when structurally sound —
+    every ocrx_word opening matched by the strict word regex — and to
+    the tolerant Python parser otherwise. The guard is itself JVM-side
+    (two counts per page), so the Python stage only ever sees the
+    malformed tail."""
+    probe = df.withColumn(
+        "_n_marks", F.size(F.split(F.col(hocr_col), r"""<span class=["']ocrx_word""")) - 1
+    ).withColumn(
+        "_n_regex", F.size(F.regexp_extract_all(hocr_col, F.lit(_WORD_RE), 0))
+    )
+    sound = (F.col("_n_marks") > 0) & (F.col("_n_marks") == F.col("_n_regex"))
+    fast = parse_hocr_jvm(probe.filter(sound).drop("_n_marks", "_n_regex"), doc_col, hocr_col)
+    slow = parse_hocr(probe.filter(~sound).drop("_n_marks", "_n_regex"), doc_col, hocr_col)
+    return fast.unionByName(slow)

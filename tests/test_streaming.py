@@ -7,6 +7,7 @@ import os
 import shutil
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hocr_de_noising_spark.operators.pipeline import denoise_fused
@@ -134,3 +135,44 @@ def test_sink_retry_is_idempotent(spark, unit_dir, stream_dirs):
     assert out.select("doc_id").distinct().count() == 20
     sink(docs, 1)  # a new batch appends alongside
     assert spark.read.parquet(stream_dirs["out"]).count() == 40
+
+
+def test_custom_stateful_operator_matches_batch(spark, sf001_dir, stream_dirs):
+    """applyInPandasWithState custom operator: per-user running totals
+    across TWO restarts must end exactly at the batch groupBy answer,
+    with state carried between micro-batches (n_batches > 1 for users
+    seen in both halves)."""
+    from hocr_de_noising_spark.streaming.stateful import stateful_user_totals_stream
+
+    events = spark.read.parquet(os.path.join(sf001_dir, "events.parquet"))
+    first = events.filter(F.col("event_id") % 2 == 0)
+    second = events.filter(F.col("event_id") % 2 == 1)
+
+    first.write.mode("append").parquet(stream_dirs["in"])
+    stateful_user_totals_stream(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"]
+    )
+    second.write.mode("append").parquet(stream_dirs["in"])
+    stateful_user_totals_stream(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"]
+    )
+
+    # last emission per user = final running totals
+    out = spark.read.parquet(stream_dirs["out"])
+    w = Window.partitionBy("user_id").orderBy(F.col("n_batches").desc())
+    final = (
+        out.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("user_id", "n_events", "total_value", "n_batches")
+    )
+    batch = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.coalesce("value", F.lit(0.0))), 4).alias("total_value"),
+    )
+    j = final.alias("s").join(batch.alias("b"), "user_id", "full_outer")
+    assert j.filter(
+        (F.col("s.n_events") != F.col("b.n_events"))
+        | (F.abs(F.col("s.total_value") - F.col("b.total_value")) > 1e-6)
+    ).count() == 0
+    # state really persisted across the restart
+    assert final.filter("n_batches >= 2").count() > 0

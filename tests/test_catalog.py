@@ -5,6 +5,7 @@ shapes, using mocks instead of a catalog."""
 
 from __future__ import annotations
 
+import os
 from unittest.mock import MagicMock
 
 import pytest
@@ -60,3 +61,22 @@ def test_parquet_kind_round_trip(spark, tmp_path):
     cat.write(df, target, mode="overwrite")
     assert cat.read(spark, target).count() == 5
     assert cat.lineage(spark, target).startswith(f"parquet:{target}@")
+
+
+def test_dist_zip_is_importable(tmp_path):
+    """scripts/build_dist.py packages the engine for --py-files; the
+    zip must be importable via zipimport (what executors do)."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from build_dist import build
+
+    out = build(str(tmp_path / "pkg.zip"))
+    code = (
+        "import sys; sys.path.insert(0, %r); "
+        "import hocr_de_noising_spark.params as p; "
+        "print(p.params_hash(p.Params()))" % out
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True, text=True)
+    assert r.returncode == 0 and len(r.stdout.strip()) == 16, r.stderr

@@ -79,14 +79,17 @@ def run_dedup_job(
     )
     keep.write.mode("overwrite").parquet(os.path.join(out_dir, "keepers"))
 
+    # summary counts come from the WRITTEN outputs (metadata-cheap
+    # parquet row counts), never by recomputing a stage
+    def n(rel: str) -> int:
+        return spark.read.parquet(os.path.join(out_dir, rel)).count()
+
     return {
-        "exact_groups": exact.count(),
-        "candidate_pairs": pairs.count(),
-        "verified_pairs": spark.read.parquet(
-            os.path.join(out_dir, "verified_pairs")
-        ).count(),
-        "clustered_docs": comps_df.count(),
-        "keepers": keep.count(),
+        "exact_groups": n("exact_groups"),
+        "candidate_pairs": n("candidate_pairs"),
+        "verified_pairs": n("verified_pairs"),
+        "clustered_docs": n("components"),
+        "keepers": n("keepers"),
     }
 
 

@@ -476,26 +476,40 @@ def ann_lsh_pairs(e):
     candidates."""
     from pyspark.sql import Window
 
-    bands = None
-    for t in range(ANN_TABLES):
-        bt = e.select(
-            "vec_id", F.lit(t).alias("tbl"), _ann_bucket_spark(t).alias("bucket")
-        )
-        bands = bt if bands is None else bands.unionByName(bt)
+    # all L table buckets computed in ONE pass over the vectors (an
+    # array of (tbl, bucket) structs, exploded) — a union of L selects
+    # would scan the embeddings table L times
+    table_structs = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"), _ann_bucket_spark(t).alias("bucket")
+            )
+            for t in range(ANN_TABLES)
+        ]
+    )
+    bands = e.select("vec_id", F.explode(table_structs).alias("tb")).select(
+        "vec_id", "tb.tbl", "tb.bucket"
+    )
     w = Window.partitionBy("tbl", "bucket").orderBy(F.md5(F.col("vec_id").cast("string")))
     capped = bands.withColumn(
         "sub", F.floor((F.row_number().over(w) - 1) / ANN_BUCKET_CAP)
     )
-    a, b = capped.alias("a"), capped.alias("b")
+    # within-sub-bucket pairs generated from the grouped member array
+    # (<= cap ids per group, so <= cap^2 combinations) instead of a
+    # self-join — the join would re-execute the whole bands+window
+    # subtree for each side, doubling the embeddings scans
     pairs = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.sub") == F.col("b.sub"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        capped.groupBy("tbl", "bucket", "sub")
+        .agg(F.collect_list("vec_id").alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids,"
+                    " y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"
+                )
+            ).alias("p")
         )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .select(F.col("p.a").alias("vec_a"), F.col("p.b").alias("vec_b"))
         .distinct()
     )
     va = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))

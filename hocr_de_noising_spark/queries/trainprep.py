@@ -234,18 +234,26 @@ def dedup_ngram_jaccard(spark, sf):
     """Exact n-gram Jaccard over every pair sharing >=1 bounded-df
     shingle (the standalone/oracle form; the production pipeline
     verifies ONLY the LSH candidates via ``jaccard_for_pairs``).
-    Stop-phrase shingles (df > JACCARD_DF_CAP) are dropped before the
-    self-join so the pair fan-out per shingle is bounded."""
+    Stop-phrase shingles (df > JACCARD_DF_CAP) are dropped up front,
+    which bounds the per-shingle member list to df_cap — so the
+    intersection counts come from in-array pair combinations
+    (<= C(df_cap, 2) per shingle) after ONE groupBy, with no shingle
+    self-join at all (a self-join would also re-execute the shingle
+    subtree once per side)."""
     sh = capped_shingles(spark, sf, 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        sh.groupBy("shingle")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .select(
+            F.explode(
+                F.expr(
+                    "filter(flatten(transform(ids, x -> transform(ids,"
+                    " y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("i"))
     )
     sa = sizes.alias("sa")

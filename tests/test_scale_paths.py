@@ -23,19 +23,18 @@ from hocr_de_noising_spark.queries.trainprep import (
 SF = "/root/testdata/sf0.001"
 
 
-def test_jaccard_df_cap_filter_sits_below_the_self_join(spark):
-    """The document-frequency cap must run BEFORE the shingle self-join
-    (a filter above the join would not bound the pair fan-out)."""
+def test_jaccard_pair_generation_is_bounded(spark):
+    """The document-frequency cap must run BEFORE pair generation, and
+    intersections must come from in-array combinations of the grouped
+    per-shingle member lists (<= C(df_cap, 2) each) — no shingle
+    self-join in the plan at all."""
     df = QUERIES["dedup_ngram_jaccard"]["fn"](spark, SF)
     p = df._jdf.queryExecution().optimizedPlan().toString()
     assert "CartesianProduct" not in p
-    # the df <= cap predicate exists and feeds the join inputs
     assert f"<= {JACCARD_DF_CAP}" in p, p
-    join_pos = p.find("Join Inner")
-    filt_pos = p.rfind(f"<= {JACCARD_DF_CAP}")
-    assert join_pos != -1 and filt_pos > join_pos, (
-        "df-cap filter must appear below (after, in tree print order) the join"
-    )
+    assert "collect_list" in p
+    # the only joins left attach the two per-doc size relations
+    assert p.count("Join Inner") <= 2, p
 
 
 def test_ann_lsh_degenerate_cluster_is_bounded(spark):

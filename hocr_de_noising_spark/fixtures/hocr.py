@@ -37,6 +37,15 @@ def gen_hocr_page(doc_id: str, rng: np.random.Generator, lex_tokens: list[str]):
             n_words = int(rng.integers(1, 7))
             for wi in range(n_words):
                 tok = lex_tokens[int(rng.integers(0, len(lex_tokens)))]
+                tok_html = tok
+                # ~1 word in 12 carries an XML entity, the way Tesseract
+                # escapes &/< /> in word text (ADVICE r2) — tok is the
+                # DECODED ground truth, tok_html the escaped page text
+                ent_roll = int(rng.integers(0, 12))
+                if ent_roll == 0:
+                    tok, tok_html = tok + "&", tok + "&amp;"
+                elif ent_roll == 1:
+                    tok, tok_html = "<" + tok + ">", "&lt;" + tok + "&gt;"
                 w = max(30, 22 * len(tok))
                 h = int(rng.integers(38, 43))
                 wconf = int(rng.integers(10, 99))
@@ -44,7 +53,7 @@ def gen_hocr_page(doc_id: str, rng: np.random.Generator, lex_tokens: list[str]):
                 words_html.append(
                     f'<span class="ocrx_word" id="word_{ci}_{li}_{wi}" '
                     f'title="bbox {bbox[0]} {bbox[1]} {bbox[2]} {bbox[3]}; '
-                    f'x_wconf {wconf}">{tok}</span>'
+                    f'x_wconf {wconf}">{tok_html}</span>'
                 )
                 words_expected.append(
                     {

@@ -208,6 +208,29 @@ _LINE_META_RE = (
     r"""baseline ([-\d.]+) ([-\d.]+); x_size ([\d.]+)"""
 )
 
+# XML entities the JVM path decodes (ADVICE r2: Tesseract escapes &, <,
+# > in word text; the tolerant parser decodes them via HTMLParser).
+# Literal, non-rescanning replaces with &amp; LAST — combined with the
+# router guarantee that EVERY '&' on a fast-path page starts one of
+# exactly these entities, this is equivalent to HTMLParser's one-pass
+# decode (e.g. '&amp;lt;' → '&lt;' on both paths, never '<').
+_ENTITIES = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&apos;", "'"),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+_ENTITY_RE = r"&(amp|lt|gt|quot|apos|#39);"
+
+
+def _decode_entities(token):
+    out = token
+    for ent, rep in _ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return out
+
 
 def parse_hocr_jvm(
     df: DataFrame, doc_col: str = "doc_id", hocr_col: str = "hocr"
@@ -289,7 +312,7 @@ def parse_hocr_jvm(
         F.col("line_id").cast("int"),
         F.col("word_id").cast("int"),
         (F.row_number().over(w_order) - 1).cast("int").alias("order"),
-        F.trim(F.col("w.token")).alias("token"),
+        _decode_entities(F.trim(F.col("w.token"))).alias("token"),
         F.col("w.x0").cast("int").alias("x0"),
         F.col("w.y0").cast("int").alias("y0"),
         F.col("w.x1").cast("int").alias("x1"),
@@ -301,20 +324,61 @@ def parse_hocr_jvm(
     )
 
 
+def hocr_soundness_probe(hocr_col: str):
+    """JVM-side predicate: page is safe for ``parse_hocr_jvm``.
+
+    Sound means (all counts are whole-stage-codegen regexp passes):
+    - every ocrx_word opening matches the strict Tesseract word regex;
+    - every class token (ocrx_word/ocr_line/ocr_carea/ocr_par) sits in
+      canonical ``<tag class="...`` position — a token appearing
+      mid-class-list or in word text would make the split/count
+      ancestry logic diverge from the tolerant parser;
+    - no ocr_header/ocr_caption containers (the tolerant parser treats
+      them as line containers; the fast path's par ancestry would be
+      off by one for headers preceding a paragraph — ADVICE r2);
+    - no ocrx_word before the first line container (the tolerant parser
+      keeps such words with line_id clamped to 0; the fast path drops
+      chunk 0 — ADVICE r2);
+    - every '&' starts one of the five standard XML entities the fast
+      path decodes (ADVICE r2: bare '&', '&amp' without semicolon, and
+      exotic charrefs like '&eacute;' go to HTMLParser).
+    """
+    c = F.col(hocr_col)
+    n_marks = F.regexp_count(c, F.lit(r"""<span class=["']ocrx_word"""))
+    n_regex = F.size(F.regexp_extract_all(hocr_col, F.lit(_WORD_RE), 0))
+    canonical = (
+        (F.regexp_count(c, F.lit("ocrx_word")) == n_marks)
+        & (F.regexp_count(c, F.lit("ocr_line")) == F.regexp_count(c, F.lit(_LINE_SPLIT)))
+        & (
+            F.regexp_count(c, F.lit("ocr_carea"))
+            == F.regexp_count(c, F.lit(r"""<div class=["']ocr_carea"""))
+        )
+        & (
+            F.regexp_count(c, F.lit("ocr_par"))
+            == F.regexp_count(c, F.lit(r"""<p class=["']ocr_par"""))
+        )
+    )
+    no_headers = ~c.contains("ocr_header") & ~c.contains("ocr_caption")
+    no_preline_words = F.instr(F.split(c, _LINE_SPLIT).getItem(0), "ocrx_word") == 0
+    entities_ok = F.regexp_count(c, F.lit("&")) == F.regexp_count(c, F.lit(_ENTITY_RE))
+    return (
+        (n_marks > 0)
+        & (n_marks == n_regex)
+        & canonical
+        & no_headers
+        & no_preline_words
+        & entities_ok
+    )
+
+
 def parse_hocr_auto(
     df: DataFrame, doc_col: str = "doc_id", hocr_col: str = "hocr"
 ) -> DataFrame:
-    """Route each page to the JVM fast path when structurally sound —
-    every ocrx_word opening matched by the strict word regex — and to
-    the tolerant Python parser otherwise. The guard is itself JVM-side
-    (two counts per page), so the Python stage only ever sees the
-    malformed tail."""
-    probe = df.withColumn(
-        "_n_marks", F.size(F.split(F.col(hocr_col), r"""<span class=["']ocrx_word""")) - 1
-    ).withColumn(
-        "_n_regex", F.size(F.regexp_extract_all(hocr_col, F.lit(_WORD_RE), 0))
-    )
-    sound = (F.col("_n_marks") > 0) & (F.col("_n_marks") == F.col("_n_regex"))
-    fast = parse_hocr_jvm(probe.filter(sound).drop("_n_marks", "_n_regex"), doc_col, hocr_col)
-    slow = parse_hocr(probe.filter(~sound).drop("_n_marks", "_n_regex"), doc_col, hocr_col)
+    """Route each page to the JVM fast path when structurally sound
+    (``hocr_soundness_probe``) and to the tolerant Python parser
+    otherwise. The guard is itself JVM-side, so the Python stage only
+    ever sees the malformed/nonstandard tail."""
+    sound = hocr_soundness_probe(hocr_col)
+    fast = parse_hocr_jvm(df.filter(sound), doc_col, hocr_col)
+    slow = parse_hocr(df.filter(~sound), doc_col, hocr_col)
     return fast.unionByName(slow)

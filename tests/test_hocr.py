@@ -106,6 +106,101 @@ def test_auto_router_handles_mixed_corpus(spark):
         assert a.asDict() == b.asDict(), (a, b)
 
 
+def _page(body_spans: str) -> str:
+    """Minimal well-formed Tesseract-shaped page around given markup."""
+    return (
+        '<html><body><div class="ocr_page" title="bbox 0 0 2480 3508; ppageno 0">'
+        '<div class="ocr_carea" title="bbox 0 0 2480 3508">'
+        '<p class="ocr_par" lang="eng">' + body_spans + "</p></div></div></body></html>"
+    )
+
+
+def _line(words: list[str], li: int = 0) -> str:
+    inner = "".join(
+        f'<span class="ocrx_word" title="bbox {10 + 50 * wi} {10 + 50 * li} '
+        f"{40 + 50 * wi} {40 + 50 * li}; x_wconf 9{wi}\">{w}</span>"
+        for wi, w in enumerate(words)
+    )
+    return (
+        f'<span class="ocr_line" title="bbox 0 {10 + 50 * li} 500 {40 + 50 * li}; '
+        f'baseline 0.005 -18; x_size 42; x_descenders 9; x_ascenders 11">{inner}</span>'
+    )
+
+
+def test_jvm_fast_path_decodes_entities(spark):
+    """ADVICE r2 (high): entity-bearing pages stay on the JVM fast path
+    and decode the five standard XML entities exactly like HTMLParser —
+    including the &amp;lt; double-encode trap (must yield '&lt;', never
+    '<')."""
+    from hocr_de_noising_spark.operators.hocr import (
+        hocr_soundness_probe,
+        parse_hocr,
+        parse_hocr_jvm,
+    )
+
+    words = ["A&amp;B", "&lt;i&gt;", "&quot;q&quot;", "it&#39;s", "&amp;lt;", "M&amp;amp;"]
+    df = spark.createDataFrame([("e1", _page(_line(words)))], "doc_id string, hocr string")
+    assert df.filter(hocr_soundness_probe("hocr")).count() == 1
+    py = parse_hocr(df).orderBy("order").collect()
+    jvm = parse_hocr_jvm(df).orderBy("order").collect()
+    assert [r.token for r in py] == ['A&B', '<i>', '"q"', "it's", '&lt;', 'M&amp;']
+    for a, b in zip(py, jvm):
+        assert a.asDict() == b.asDict(), (a, b)
+
+
+def test_router_sends_nonstandard_pages_to_python(spark):
+    """ADVICE r2 (high+medium): pages the fast path cannot reproduce —
+    headers/captions, pre-line words, bare/unterminated/exotic charrefs,
+    non-canonical class positions — are marked unsound and the auto
+    route still equals a pure-Python parse."""
+    from hocr_de_noising_spark.operators.hocr import (
+        hocr_soundness_probe,
+        parse_hocr,
+        parse_hocr_auto,
+    )
+
+    header_page = (
+        '<html><body><div class="ocr_page" title="bbox 0 0 100 100">'
+        '<div class="ocr_carea" title="bbox 0 0 100 100">'
+        '<span class="ocr_header" title="bbox 0 0 50 10">'
+        '<span class="ocrx_word" title="bbox 1 1 9 9; x_wconf 90">Head</span></span>'
+        '<p class="ocr_par">' + _line(["body"]) + "</p></div></div></body></html>"
+    )
+    caption_page = _page(
+        _line(["pic"]) + '<span class="ocr_caption" title="bbox 0 90 50 99">'
+        '<span class="ocrx_word" title="bbox 1 91 9 98; x_wconf 70">cap</span></span>'
+    )
+    preline_page = _page(
+        '<span class="ocrx_word" title="bbox 1 1 5 5; x_wconf 70">stray</span>'
+        + _line(["normal"])
+    )
+    bare_amp = _page(_line(["AT&T"]))
+    no_semi = _page(_line(["AT&amp T"]))
+    exotic = _page(_line(["caf&eacute;"]))
+    odd_class = _page(
+        '<span class="bold ocr_line" title="bbox 0 10 500 40; baseline 0 0; '
+        'x_size 42; x_descenders 9; x_ascenders 11">'
+        '<span class="ocrx_word" title="bbox 1 11 9 39; x_wconf 80">styled</span></span>'
+    )
+    pages = [
+        ("n_header", header_page),
+        ("n_caption", caption_page),
+        ("n_preline", preline_page),
+        ("n_bareamp", bare_amp),
+        ("n_nosemi", no_semi),
+        ("n_exotic", exotic),
+        ("n_oddclass", odd_class),
+    ]
+    df = spark.createDataFrame(pages, "doc_id string, hocr string")
+    assert df.filter(hocr_soundness_probe("hocr")).count() == 0
+    cols = ["doc_id", "order"]
+    py = parse_hocr(df).orderBy(*cols).collect()
+    auto = parse_hocr_auto(df).orderBy(*cols).collect()
+    assert len(py) == len(auto) and len(py) >= len(pages)
+    for a, b in zip(py, auto):
+        assert a.asDict() == b.asDict(), (a, b)
+
+
 def test_jvm_fast_path_stays_python_free(spark):
     from hocr_de_noising_spark.fixtures.hocr import gen_hocr_corpus
     from hocr_de_noising_spark.operators.hocr import parse_hocr_jvm

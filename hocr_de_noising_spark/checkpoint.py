@@ -128,7 +128,7 @@ def run_denoise_job(
     run_id: str = "run-0",
     n_groups: int = 8,
     input_lineage: str = "",
-    variant: str = "hybrid",
+    variant: str = "fused",
     fail_after_group: int | None = None,
 ) -> dict:
     """The resumable batch job (SURVEY.md §3.2 bucket loop).
@@ -147,10 +147,17 @@ def run_denoise_job(
       its own bucket directories and can never leave stale duplicates;
     - if ``docs`` already carries a ``bucket`` column (input bucketed
       at rest, e.g. read from a bucket-partitioned table), it is reused
-      verbatim: the per-group filter then prunes at the parquet scan
-      (PartitionFilters) instead of scanning the full input n_groups
-      times. Otherwise the bucket is computed on the fly and each group
-      pass scans the input once (document-level filter).
+      after a sample-based consistency probe vs the job's salt/n_buckets
+      (recomputed on mismatch — ADVICE r2): the per-group filter then
+      prunes at the parquet scan (PartitionFilters) instead of scanning
+      the full input n_groups times. Otherwise the bucket is computed
+      on the fly and each group pass scans the input once;
+    - ``variant="hybrid"`` probes ONCE, job-level, which groups contain
+      giant documents and plans the exploded branch only there — a
+      giant-free group runs a single fused branch (VERDICT r2 item 1);
+    - the production default is ``fused`` (see README rationale):
+      the vectorized batch engine digests giants in-line, so hybrid's
+      second input scan only pays off when giants exceed worker memory.
     """
     from pyspark.sql import Observation
 
@@ -165,23 +172,68 @@ def run_denoise_job(
     done = ckpt.completed_buckets(spark, run_id, ph)
     lex_tokens = None
     if variant in ("fused", "hybrid"):
-        lex_tokens = [r.token for r in lexicon_df.select("token").distinct().collect()]
+        # ship the lexicon as a broadcast variable, not a task closure:
+        # one torrent distribution per job instead of re-serializing the
+        # token list into every task (VERDICT r2 item 7)
+        tokens = [r.token for r in lexicon_df.select("token").distinct().collect()]
+        lex_tokens = spark.sparkContext.broadcast(tokens)
 
     if "bucket" in docs.columns:
-        docs_b = docs  # bucketed at rest → scan-time partition pruning
+        # bucketed at rest → scan-time partition pruning; but never
+        # TRUST the at-rest column blindly (ADVICE r2): a column bucketed
+        # under a different salt/n_buckets would silently misroute the
+        # per-group dynamic partition overwrite. Probe a sample; on any
+        # mismatch fall back to recomputing.
+        n_bad = (
+            docs.select("doc_id", "bucket")
+            .limit(1024)
+            .filter(F.col("bucket") != bucket_col("doc_id", p))
+            .count()
+        )
+        if n_bad:
+            docs_b = docs.drop("bucket").withColumn("bucket", bucket_col("doc_id", p))
+        else:
+            docs_b = docs
     else:
         docs_b = docs.withColumn("bucket", bucket_col("doc_id", p))
     group_of = F.col("bucket") % n_groups
     n_spans_in_expr = F.coalesce(F.size("spans"), F.lit(0))
+
+    giant_groups: set[int] = set(range(n_groups))
+    if variant == "hybrid":
+        # ONE job-level probe of which groups contain giants, so a
+        # giant-free group plans a single fused branch instead of
+        # always paying the exploded branch's shuffle/setup machinery
+        # (VERDICT r2 item 1). Uses the n_spans stats column when the
+        # ingest wrote one (SURVEY §4.1 — int column, no array scan).
+        giant = (
+            F.col("n_spans") if "n_spans" in docs_b.columns else n_spans_in_expr
+        ) > p.max_spans_per_doc
+        giant_groups = {
+            r.g
+            for r in docs_b.filter(giant)
+            .select((F.col("bucket") % n_groups).alias("g"))
+            .distinct()
+            .collect()
+        }
     summary = {"groups_run": 0, "groups_skipped": 0, "n_docs": 0}
+    if variant == "hybrid":
+        summary["giant_groups"] = len(giant_groups)
 
     for g in range(n_groups):
         group_buckets = [b for b in range(p.n_buckets) if b % n_groups == g]
-        if all(b in done for b in group_buckets):
+        # only the buckets NOT yet committed: re-running a partial group
+        # must neither recompute nor re-append manifest rows for its
+        # already-done buckets (ADVICE r2 — double-count on resume with
+        # a different n_groups)
+        pending = [b for b in group_buckets if b not in done]
+        if not pending:
             summary["groups_skipped"] += 1
             continue
 
         part = docs_b.filter(group_of == g)
+        if len(pending) < len(group_buckets):
+            part = part.filter(F.col("bucket").isin(pending))
 
         # input-side observations: one per pipeline branch (a single
         # observe node consumed by two union branches would be evaluated
@@ -191,12 +243,14 @@ def run_denoise_job(
         def observed(df: DataFrame) -> DataFrame:
             o = Observation()
             in_obs.append(o)
-            return df.observe(o, *_bucket_metric_exprs(group_buckets, n_spans_in_expr))
+            return df.observe(o, *_bucket_metric_exprs(pending, n_spans_in_expr))
 
         if variant == "fused":
             out = denoise_fused(observed(part).drop("bucket"), lex_tokens, p)
         elif variant == "exploded":
             out = denoise_exploded(observed(part).drop("bucket"), lexicon_df, p)
+        elif g not in giant_groups:  # hybrid, giant-free group: fused only
+            out = denoise_fused(observed(part).drop("bucket"), lex_tokens, p)
         else:  # hybrid: python path for normal docs, JVM path for giants
             small = observed(part.filter(n_spans_in_expr <= p.max_spans_per_doc))
             big = observed(part.filter(n_spans_in_expr > p.max_spans_per_doc))
@@ -206,7 +260,7 @@ def run_denoise_job(
 
         out_obs = Observation()
         out = out.withColumn("bucket", bucket_col("doc_id", p)).observe(
-            out_obs, *_bucket_metric_exprs(group_buckets, F.size("spans"))
+            out_obs, *_bucket_metric_exprs(pending, F.size("spans"))
         )
         (
             out.repartition(F.col("bucket"))
@@ -220,18 +274,25 @@ def run_denoise_job(
         # observation values are available once the write action above
         # finishes — the ONLY job this group runs. A branch AQE proved
         # empty gets its CollectMetrics node pruned and never reports;
-        # an empty branch has all-zero metrics by definition.
+        # pyspark's blocking Observation.get would HANG on that (ADVICE
+        # r2), so read via the JVM's bounded getRowOrEmpty (~100 ms
+        # wait) and treat a never-reported node as all-zero metrics.
         def obs_get(o: Observation) -> dict:
-            try:
-                return o.get
-            except Exception:
+            from pyspark.serializers import CPickleSerializer
+
+            jopt = o._jo.getRowOrEmpty()
+            # a pruned/never-reported node yields None or a schema-less
+            # empty Row — both mean "no metrics", i.e. all-zero
+            if not jopt.isDefined() or jopt.get().size() == 0:
                 return {}
+            utils = getattr(o._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
+            return CPickleSerializer().loads(utils.toPyRow(jopt.get())).asDict()
 
         in_vals = [obs_get(o) for o in in_obs]
         out_vals = obs_get(out_obs)
         now = int(time.time() * 1e6)
         rows = []
-        for b in group_buckets:
+        for b in pending:
             n_docs = sum(int(v.get(f"docs_{b}", 0)) for v in in_vals)
             n_in = sum(int(v.get(f"spans_{b}", 0)) for v in in_vals)
             n_out = int(out_vals.get(f"spans_{b}", 0))

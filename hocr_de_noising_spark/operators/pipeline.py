@@ -26,6 +26,7 @@ from __future__ import annotations
 from typing import Iterator
 
 import pandas as pd
+from pyspark.broadcast import Broadcast
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -117,7 +118,7 @@ def denoise_hybrid(
 
 def denoise_fused(
     docs: DataFrame,
-    lexicon_tokens: list[str],
+    lexicon_tokens: "list[str] | Broadcast",
     params: Params | None = None,
     vectorized: bool = True,
 ) -> DataFrame:
@@ -127,13 +128,24 @@ def denoise_fused(
     (rules_vec — one regex extract and groupby-quantile per Arrow
     batch); ``vectorized=False`` runs the doc-at-a-time reference
     implementation (rules_np). Identical semantics, property-tested.
+
+    ``lexicon_tokens`` may be a plain list (broadcast here, once per
+    plan) or a pre-made ``sparkContext.broadcast`` shared across calls —
+    either way tasks deserialize the token list from the broadcast
+    store once per executor instead of once per task closure
+    (VERDICT r2 item 7).
     """
     p = params or Params()
+    bc = (
+        lexicon_tokens
+        if isinstance(lexicon_tokens, Broadcast)
+        else docs.sparkSession.sparkContext.broadcast(list(lexicon_tokens or []))
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from hocr_de_noising_spark.rules_vec import denoise_batch
 
-        lex = Lexicon(lexicon_tokens) if p.use_dictionary else None
+        lex = Lexicon(bc.value) if p.use_dictionary else None
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             spans_lists = [

@@ -3,7 +3,7 @@
     spark-submit --py-files dist/hocr_de_noising_spark.zip \
         jobs/run_denoise.py --input <path|table> --output <path|table> \
         --manifest <dir> --lexicon <path> [--buckets 256] [--salt 42] \
-        [--groups 8] [--variant hybrid] [--mode drop] [--catalog parquet]
+        [--groups 8] [--variant fused] [--mode drop] [--catalog parquet]
 
 Resumable: re-running with the same run-id + params skips committed
 bucket groups via the manifest (S7).
@@ -35,7 +35,7 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--groups", type=int, default=8)
     ap.add_argument("--tau-wconf", type=int, default=35)
     ap.add_argument("--mode", choices=("drop", "rewrite"), default="drop")
-    ap.add_argument("--variant", choices=("hybrid", "fused", "exploded"), default="hybrid")
+    ap.add_argument("--variant", choices=("hybrid", "fused", "exploded"), default="fused")
     ap.add_argument("--catalog", choices=("parquet", "iceberg"), default="parquet")
     ap.add_argument("--cores", type=int, default=None)
     ap.add_argument(

@@ -125,6 +125,86 @@ def test_regroup_resume_is_idempotent(spark, loaded, tmp_path):
     assert j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count() == 0
 
 
+def test_partial_group_resume_appends_no_duplicate_rows(spark, loaded, tmp_path):
+    """ADVICE r2: resuming with a DIFFERENT n_groups used to re-run a
+    group's already-committed buckets and append duplicate 'done' rows
+    — manifest consumers summing n_docs would double-count. Now only
+    pending buckets are processed and committed."""
+    docs, lexicon, _ = loaded
+    p = Params(n_buckets=16)
+    out_dir, m_dir = str(tmp_path / "out"), str(tmp_path / "m")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_denoise_job(spark, docs, lexicon, out_dir, m_dir, params=p,
+                        run_id="r1", n_groups=4, fail_after_group=1)
+    done = ManifestCheckpoint(m_dir).completed_buckets(spark, "r1", params_hash(p))
+    assert len(done) == 8  # groups 0 and 1 of 4
+    # resume with n_groups=2: BOTH new groups contain a mix of
+    # committed and pending buckets
+    run_denoise_job(spark, docs, lexicon, out_dir, m_dir, params=p,
+                    run_id="r1", n_groups=2)
+    m = ManifestCheckpoint(m_dir).read(spark).collect()
+    assert len(m) == 16  # exactly one row per bucket — no duplicates
+    assert len({r.bucket for r in m}) == 16
+    assert sum(r.n_docs for r in m) == docs.count()
+
+
+def test_hybrid_probe_skips_exploded_branch_without_giants(spark, loaded, tmp_path):
+    """VERDICT r2 item 1: hybrid probes job-level for giant-bearing
+    groups; a giant-free corpus plans zero exploded branches and the
+    output still matches the golden."""
+    docs, lexicon, golden = loaded
+    p = Params(n_buckets=16)
+    summary = run_denoise_job(
+        spark, docs, lexicon, str(tmp_path / "out"), str(tmp_path / "m"),
+        params=p, run_id="r1", n_groups=4, variant="hybrid",
+    )
+    assert summary["giant_groups"] == 0 and summary["groups_run"] == 4
+    out = _read_all(spark, str(tmp_path / "out"))
+    j = out.alias("o").join(golden.alias("g"), "doc_id", "full_outer")
+    assert j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count() == 0
+
+
+def test_hybrid_probe_routes_giant_groups(spark, loaded, tmp_path):
+    """With a low giant threshold the probe finds giant-bearing groups
+    and the hybrid output equals the pure-fused output byte-for-byte."""
+    from hocr_de_noising_spark.operators.pipeline import denoise_fused
+
+    docs, lexicon, _ = loaded
+    lex_tokens = [r.token for r in lexicon.select("token").distinct().collect()]
+    p = Params(n_buckets=16, max_spans_per_doc=30)
+    summary = run_denoise_job(
+        spark, docs, lexicon, str(tmp_path / "out"), str(tmp_path / "m"),
+        params=p, run_id="r1", n_groups=4, variant="hybrid",
+    )
+    assert 1 <= summary["giant_groups"] <= 4
+    out = _read_all(spark, str(tmp_path / "out"))
+    ref = denoise_fused(docs, lex_tokens, p)
+    j = out.alias("o").join(ref.alias("g"), "doc_id", "full_outer")
+    assert j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count() == 0
+
+
+def test_mismatched_bucket_column_is_recomputed(spark, loaded, tmp_path):
+    """ADVICE r2: a pre-existing bucket column bucketed under a
+    different scheme must not be trusted — the job probes a sample and
+    recomputes, so no bucket directory is overwritten with another
+    bucket's rows and no docs are lost."""
+    docs, lexicon, golden = loaded
+    p = Params(n_buckets=16)
+    wrong = docs.withColumn("bucket", F.lit(0))  # all docs claim bucket 0
+    summary = run_denoise_job(
+        spark, wrong, lexicon, str(tmp_path / "out"), str(tmp_path / "m"),
+        params=p, run_id="r1", n_groups=4,
+    )
+    assert summary["groups_run"] == 4
+    out = _read_all(spark, str(tmp_path / "out"))
+    assert out.count() == docs.count()
+    j = out.alias("o").join(golden.alias("g"), "doc_id", "full_outer")
+    assert j.filter(~F.col("o.spans").eqNullSafe(F.col("g.spans"))).count() == 0
+    m = ManifestCheckpoint(str(tmp_path / "m")).read(spark).collect()
+    assert sum(r.n_docs for r in m) == docs.count()
+    assert len({r.bucket for r in m if r.n_docs > 0}) > 1
+
+
 def test_bucketed_input_prunes_at_scan(spark, loaded, tmp_path):
     """Input bucketed at rest (bucket partition column) → the per-group
     filter reaches the parquet scan as a PartitionFilter instead of

@@ -26,50 +26,60 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["tpch_q1"]["fn"](spark, os.path.join(_TESTDATA, "sf0.001"))
 
 
-# Keys the round-1 driver run never reached (it stopped after the
-# first 50 registry entries) plus the keys new this round, hoisted to
-# the FRONT of the iteration order so a tail cutoff — count- or
-# wall-clock-based — can no longer starve them of a CORRECTNESS row.
-_PRIORITY = [
-    "lang_id",
-    "quality_score",
-    "token_count",
-    "doc_fingerprint",
-    "stream_tumbling",
-    "stream_session",
-    "ann_ivf",
-    "scalar_xml",
-    "agg_approx_percentile",
-    "dedup_embed_cosine",
-    "ann_lsh_bucketed",
-    "dedup_ngram_jaccard",
-    "dedup_components",
-    "text_scrub",
-    "sample_split",
+# CORRECTNESS-window rotation (VERDICT r2 item 2). The registry exceeds
+# the driver's 50-row cap, so ordering decides which keys get a fresh
+# hard-signal row each round. Policy: (1) keys whose implementation
+# changed since their last green driver row go FIRST, (2) then keys by
+# ascending last-green round (never-verified keys count as round 0),
+# (3) keys green in the immediately previous round fill the tail and
+# absorb the cutoff — they are also re-verified locally every run by
+# tests/test_ops.py against the same DuckDB comparison.
+
+# Keys rewritten/touched after the round whose CORRECTNESS file last
+# recorded them green (update each round):
+_CHANGED_SINCE_GREEN = [
+    "dedup_minhash_lsh",  # star-pairing rewrite landed r2; last row r1
 ]
 
-# Conversely: if the cutoff is a hard key-count cap, whatever sits at
-# the tail is skipped — so the tail is the keys whose loss costs the
-# least signal (single-function scalar/set-op keys, all green in r01
-# and re-verified by tests/test_ops.py every run).
-_TAIL = [
-    "set_union",
-    "set_except",
-    "set_intersect",
-    "sort_multikey",
-    "scalar_string",
-    "scalar_array",
-    "scalar_json",
-    "scalar_date",
-    "scalar_math",
-]
+# last round with a green driver row per key (from CORRECTNESS_r{N}.json)
+_LAST_GREEN = dict.fromkeys(
+    [
+        "dedup_simhash", "knn_bruteforce", "scalar_array", "scalar_date",
+        "scalar_json", "scalar_math", "scalar_string", "set_except",
+        "set_intersect", "set_union", "sort_multikey",
+    ],
+    1,
+) | dict.fromkeys(
+    [
+        "agg_approx_distinct", "agg_approx_percentile", "agg_cube",
+        "agg_dedup_first", "agg_denoise_rate", "agg_distinct",
+        "agg_percentile", "agg_rollup", "ann_ivf", "ann_lsh_bucketed",
+        "dedup_components", "dedup_embed_cosine", "dedup_exact",
+        "dedup_ngram_jaccard", "dict_join", "doc_fingerprint",
+        "explode_spans", "garbage_ratio", "geom_outliers", "join_anti",
+        "join_asof", "join_broadcast", "join_full", "join_inner",
+        "join_left", "join_range", "join_semi", "lag_lead", "lang_id",
+        "longs_normalize", "margin_envelope", "project_filter",
+        "quality_score", "reading_order", "sample_split", "scalar_xml",
+        "scan_lineitem", "stream_session", "stream_tumbling", "text_scrub",
+        "token_count", "topk_noisy", "tpch_q1", "tpch_q3", "udaf_mad",
+        "wconf_filter", "window_ntile", "window_range_frame",
+        "window_rank", "window_running_sum",
+    ],
+    2,
+)
 
 
 def _ordered() -> list[str]:
-    front = [n for n in _PRIORITY if n in QUERIES]
-    tail = [n for n in _TAIL if n in QUERIES]
-    mid = [n for n in QUERIES if n not in _PRIORITY and n not in _TAIL]
-    return front + mid + tail
+    names = list(QUERIES)
+    return sorted(
+        names,
+        key=lambda n: (
+            0 if n in _CHANGED_SINCE_GREEN else 1,
+            _LAST_GREEN.get(n, 0),  # never-verified keys right after changed
+            names.index(n),
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

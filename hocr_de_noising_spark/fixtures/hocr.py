@@ -20,8 +20,18 @@ from hocr_de_noising_spark.fixtures.lexicon import gen_lexicon
 PAGE_W, PAGE_H = 2480, 3508
 
 
-def gen_hocr_page(doc_id: str, rng: np.random.Generator, lex_tokens: list[str]):
-    """One well-formed page; returns (hocr_xml, expected_word_records)."""
+def gen_hocr_page(
+    doc_id: str,
+    rng: np.random.Generator,
+    lex_tokens: list[str],
+    lines_rng: tuple[int, int] = (1, 6),
+    words_rng: tuple[int, int] = (1, 7),
+):
+    """One well-formed page; returns (hocr_xml, expected_word_records).
+
+    ``lines_rng``/``words_rng`` size the page: the defaults give small
+    unit-test pages; the bench uses realistic Tesseract-scale pages
+    (~300 words, tens of KB)."""
     n_careas = int(rng.integers(1, 3))
     words_expected = []
     carea_html = []
@@ -29,12 +39,12 @@ def gen_hocr_page(doc_id: str, rng: np.random.Generator, lex_tokens: list[str]):
     for ci in range(n_careas):
         cx0 = 200 + ci * 1130
         lines_html = []
-        n_lines = int(rng.integers(1, 6))
+        n_lines = int(rng.integers(*lines_rng))
         for li in range(n_lines):
             y0 = 300 + 52 * li
             x = cx0
             words_html = []
-            n_words = int(rng.integers(1, 7))
+            n_words = int(rng.integers(*words_rng))
             for wi in range(n_words):
                 tok = lex_tokens[int(rng.integers(0, len(lex_tokens)))]
                 tok_html = tok
@@ -114,15 +124,49 @@ MALFORMED = [
 ]
 
 
-def gen_hocr_corpus(n_docs: int = 30, seed: int = 42):
+def write_hocr_corpus(
+    out_dir: str, n_docs: int = 8_000, seed: int = 42, realistic: bool = True
+) -> str:
+    """Cache a raw-hOCR page corpus to parquet for the ingest bench
+    (S2/X1 surface: pages incl. entity-bearing tokens + the malformed
+    tail). ``realistic=True`` sizes pages like actual Tesseract output
+    (~300 words / ~26 KB each). Small row groups keep the file
+    splittable so the scan stage parallelizes at any core count."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(out_dir, f"hocr_{n_docs}" + ("_big" if realistic else ""))
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    pages, _ = gen_hocr_corpus(n_docs, seed=seed, realistic=realistic)
+    tbl = pa.table(
+        {
+            "doc_id": [p[0] for p in pages],
+            "hocr": [p[1] for p in pages],
+        }
+    )
+    pq.write_table(tbl, os.path.join(d, "pages.parquet"), row_group_size=250)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def gen_hocr_corpus(n_docs: int = 30, seed: int = 42, realistic: bool = False):
     """Returns (pages, expected): pages = [(doc_id, hocr)], expected =
     flat list of word records for the well-formed pages."""
     rng = np.random.default_rng(seed)
     lex_tokens = [t for t, _ in gen_lexicon(500, seed=seed)]
+    sizes = (
+        {"lines_rng": (14, 22), "words_rng": (6, 11)} if realistic else {}
+    )
     pages, expected = [], []
     for i in range(n_docs - len(MALFORMED)):
         doc_id = f"h{i:06d}"
-        hocr, words = gen_hocr_page(doc_id, rng, lex_tokens)
+        hocr, words = gen_hocr_page(doc_id, rng, lex_tokens, **sizes)
         pages.append((doc_id, hocr))
         expected.extend(words)
     for j, bad in enumerate(MALFORMED):

@@ -41,43 +41,73 @@ from hocr_de_noising_spark.session import get_spark  # noqa: E402
 def run_dedup_job(
     spark, sf_dir: str, out_dir: str, jaccard_threshold: float = 0.2
 ) -> dict:
-    """Compose the dedup stages; returns summary counts."""
-    exact = dedup_exact(spark, sf_dir)
-    exact.write.mode("overwrite").parquet(os.path.join(out_dir, "exact_groups"))
+    """Compose the dedup stages; returns summary counts + per-stage
+    wall seconds (``stage_secs``)."""
+    import time
 
-    pairs = dedup_minhash_lsh(spark, sf_dir)
-    pairs.write.mode("overwrite").parquet(os.path.join(out_dir, "candidate_pairs"))
+    stage_secs: dict[str, float] = {}
 
-    verified = jaccard_for_pairs(
-        spark,
-        sf_dir,
-        spark.read.parquet(os.path.join(out_dir, "candidate_pairs")),
-        threshold=jaccard_threshold,
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        stage_secs[name] = round(time.time() - t0, 3)
+        return out
+
+    timed(
+        "exact",
+        lambda: dedup_exact(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "exact_groups")),
     )
-    verified.write.mode("overwrite").parquet(os.path.join(out_dir, "verified_pairs"))
-
-    comps = connected_components(
-        spark.read.parquet(os.path.join(out_dir, "verified_pairs"))
+    timed(
+        "lsh_candidates",
+        lambda: dedup_minhash_lsh(spark, sf_dir)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "candidate_pairs")),
     )
-    comps.write.mode("overwrite").parquet(os.path.join(out_dir, "components"))
+    timed(
+        "jaccard_verify",
+        lambda: jaccard_for_pairs(
+            spark,
+            sf_dir,
+            spark.read.parquet(os.path.join(out_dir, "candidate_pairs")),
+            threshold=jaccard_threshold,
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "verified_pairs")),
+    )
+    timed(
+        "components",
+        lambda: connected_components(
+            spark.read.parquet(os.path.join(out_dir, "verified_pairs"))
+        )
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "components")),
+    )
 
     # keepers: every doc keeps its cluster representative's identity;
     # docs without a near-dup cluster keep themselves. One row per
     # surviving doc, tagged with the leakage-free split.
-    split = sample_split(spark, sf_dir)
-    comps_df = spark.read.parquet(os.path.join(out_dir, "components"))
-    keep = (
-        split.join(
-            comps_df.withColumn("doc_id", F.col("doc_id").cast("long")), "doc_id", "left"
+    def write_keepers():
+        split = sample_split(spark, sf_dir)
+        comps_df = spark.read.parquet(os.path.join(out_dir, "components"))
+        keep = (
+            split.join(
+                comps_df.withColumn("doc_id", F.col("doc_id").cast("long")),
+                "doc_id",
+                "left",
+            )
+            .withColumn(
+                "keeper",
+                F.coalesce(F.col("component").cast("long"), F.col("doc_id"))
+                == F.col("doc_id"),
+            )
+            .filter("keeper")
+            .select("doc_id", "split")
         )
-        .withColumn(
-            "keeper",
-            F.coalesce(F.col("component").cast("long"), F.col("doc_id")) == F.col("doc_id"),
-        )
-        .filter("keeper")
-        .select("doc_id", "split")
-    )
-    keep.write.mode("overwrite").parquet(os.path.join(out_dir, "keepers"))
+        keep.write.mode("overwrite").parquet(os.path.join(out_dir, "keepers"))
+
+    timed("keepers_split", write_keepers)
 
     # summary counts come from the WRITTEN outputs (metadata-cheap
     # parquet row counts), never by recomputing a stage
@@ -90,6 +120,7 @@ def run_dedup_job(
         "verified_pairs": n("verified_pairs"),
         "clustered_docs": n("components"),
         "keepers": n("keepers"),
+        "stage_secs": stage_secs,
     }
 
 

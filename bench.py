@@ -74,14 +74,23 @@ def main() -> None:
     hocr_dir = write_hocr_corpus(CACHE_DIR, HOCR_DOCS)
     gen_sec = time.time() - t_gen
 
+    # size input splits to the session's parallelism (~2 waves of map
+    # tasks), exactly as a cluster job would set maxPartitionBytes for
+    # its executor count — a FIXED split size runs 2.4 ragged waves at
+    # one level and 10 at another, and the ragged tail is pure lost
+    # efficiency at the higher level (r3 measurement)
+    corpus_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(os.path.join(bench_dir, "docs.parquet"))
+        for f in fs
+    )
+    mpb = max(2 * 1024 * 1024, int(corpus_bytes / (1.75 * CPUS)))
     spark = get_spark(
         "bench",
         cores=CPUS,
         shuffle_partitions=max(CPUS * 2, 16),
         extra_conf={
-            # splits sized so the scan stage parallelizes at both
-            # bench levels (corpus ~180 MB → ~45+ splits)
-            "spark.sql.files.maxPartitionBytes": "4m",
+            "spark.sql.files.maxPartitionBytes": str(mpb),
             "spark.sql.files.openCostInBytes": "512k",
         },
     )

@@ -43,12 +43,21 @@ _MAGIC = b"FAKE"
 _TYPE_CODE = {"image": b"I", "audio": b"A", "video": b"V"}
 
 
-def encode_fake_media(media_ref: str, media_type: str = "image") -> bytes:
-    """Deterministic fake binary content for fixtures."""
+def encode_fake_media(
+    media_ref: str, media_type: str = "image", target_bytes: int | None = None
+) -> bytes:
+    """Deterministic fake binary content for fixtures. ``target_bytes``
+    tiles the payload up to MB scale for binary-heavy bench corpora
+    (the batch-bytes behavior of big media rows is the real 100 TB
+    risk — VERDICT r2 item 6)."""
     h = hashlib.sha256(media_ref.encode()).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
-    payload = (h * 8)[: width * height % 256 + 64]
+    if target_bytes is None:
+        payload = (h * 8)[: width * height % 256 + 64]
+    else:
+        n = max(target_bytes - 13, 0)
+        payload = (h * (n // len(h) + 1))[:n]
     return _MAGIC + _TYPE_CODE[media_type] + struct.pack(">ii", width, height) + payload
 
 

@@ -663,20 +663,47 @@ FROM walk GROUP BY a
 """
 
 
-def connected_components(pairs, max_iters: int = 20):
-    """Connected components over an undirected (doc_a, doc_b) pair
-    graph by iterative min-label propagation: every doc's label
-    converges to the smallest doc_id in its component — the canonical
-    representative the union-find dedup step keeps.
+def _observed_checkpoint(df, metric_col: str) -> tuple:
+    """localCheckpoint a DataFrame while riding an Observation on the
+    SAME materialization action (VERDICT r2: fold the convergence count
+    into the iteration's own action instead of a second count() job).
+    Returns (checkpointed_df, changed_count_or_None); None means the
+    metrics node did not report through this action type — callers fall
+    back to an explicit count."""
+    from pyspark.serializers import CPickleSerializer
+    from pyspark.sql import Observation
 
-    Each iteration is one equi join + groupBy (label of each node's
-    neighborhood minimum); ``localCheckpoint`` truncates the growing
-    lineage so the plan stays O(1) per iteration. Convergence is
-    checked with a count of changed labels; star-shaped LSH candidate
-    graphs converge in a handful of rounds. (At 10^12-doc scale the
-    published refinement is alternating large-star/small-star
-    [Kiveris et al., "Connected Components in MapReduce"], which this
-    simple propagation degrades to gracefully — same join shape.)"""
+    o = Observation()
+    ck = df.observe(o, F.sum(F.col(metric_col).cast("long")).alias("changed")).localCheckpoint()
+    jopt = o._jo.getRowOrEmpty()  # bounded ~100ms wait, never blocks
+    if not jopt.isDefined() or jopt.get().size() == 0:
+        return ck, None
+    utils = getattr(o._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
+    row = CPickleSerializer().loads(utils.toPyRow(jopt.get())).asDict()
+    val = row.get("changed")
+    return ck, int(val) if val is not None else 0
+
+
+def connected_components(pairs, max_iters: int = 20, algorithm: str = "propagate"):
+    """Connected components over an undirected (doc_a, doc_b) pair
+    graph: every doc's label converges to the smallest doc_id in its
+    component — the canonical representative the union-find dedup step
+    keeps.
+
+    ``algorithm="propagate"`` (default): iterative min-label
+    propagation — one equi join + groupBy per round; converges in
+    O(diameter) rounds, which is a handful for star-shaped LSH
+    candidate graphs. ``algorithm="star"``: alternating large-star /
+    small-star [Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14 — public paper] — converges in O(log n) rounds
+    regardless of diameter, the 10^12-doc path for deep-chain graphs.
+    Both property-tested equivalent to union-find (test_similarity_ml).
+
+    ``localCheckpoint`` truncates the growing lineage so the plan stays
+    O(1) per iteration, and the convergence count rides that SAME
+    materialization via df.observe (one action per round)."""
+    if algorithm == "star":
+        return _components_star(pairs, max_iters)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
@@ -697,26 +724,87 @@ def connected_components(pairs, max_iters: int = 20):
             .groupBy("a")
             .agg(F.min("nlabel").alias("min_nbr"))
         )
-        new_labels = (
-            labels.join(nbr, labels.doc_id == nbr.a, "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("min_nbr", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint()
+        new_labels = labels.join(nbr, labels.doc_id == nbr.a, "left").select(
+            "doc_id",
+            F.least(
+                F.col("component"), F.coalesce("min_nbr", F.col("component"))
+            ).alias("component"),
+            (
+                F.least(F.col("component"), F.coalesce("min_nbr", F.col("component")))
+                != F.col("component")
+            ).alias("_changed"),
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
+        new_labels, changed = _observed_checkpoint(new_labels, "_changed")
+        if changed is None:  # metrics missed the action → explicit count
+            changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels
+
+
+def _components_star(pairs, max_iters: int = 30):
+    """Alternating large-star/small-star over the pair graph
+    [Kiveris et al., SoCC'14]. State is an EDGE SET (never a
+    per-node parent map — collapsing to min-parent mid-algorithm
+    discards connectivity, e.g. a 1-5-2 chain through node 5):
+
+    - large-star(u): link every strictly-larger neighbor of u to
+      m = min(N(u) ∪ {u});
+    - small-star: group by the LARGER endpoint u, link its (smaller)
+      neighbors and u itself to their minimum.
+
+    Both steps preserve connected components; at convergence the edge
+    set is one star per component rooted at the component minimum,
+    reached in O(log n) rounds regardless of graph diameter.
+    Convergence = exact edge-set fixpoint (count + multiset except)."""
+    nodes = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("child"), F.col("doc_b").alias("parent"))
+        .filter(F.col("child") != F.col("parent"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = edges.count()
+    for _ in range(max_iters):
+        e = edges.select(F.col("child").alias("u"), F.col("parent").alias("v")).unionByName(
+            edges.select(F.col("parent").alias("u"), F.col("child").alias("v"))
+        )
+        # large-star: u's strictly-larger neighbors -> min(N(u) ∪ {u})
+        mins = e.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            e.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+        )
+        # small-star over large's output, grouped by the larger endpoint
+        e2 = large.select(
+            F.greatest("child", "parent").alias("u"),
+            F.least("child", "parent").alias("v"),
+        )
+        m2 = e2.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (
+            e2.join(m2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("child"), F.col("m").alias("parent"))
+            .unionByName(m2.select(F.col("u").alias("child"), F.col("m").alias("parent")))
+            .distinct()
+            .localCheckpoint()
+        )
+        n_nxt = nxt.count()
+        if n_nxt == n_edges and nxt.exceptAll(edges).isEmpty():
+            edges = nxt
+            break
+        edges, n_edges = nxt, n_nxt
+    comp = edges.groupBy("child").agg(F.min("parent").alias("parent"))
+    return nodes.join(
+        comp.select(F.col("child").alias("doc_id"), "parent"), "doc_id", "left"
+    ).select("doc_id", F.coalesce("parent", "doc_id").alias("component"))
 
 
 @register("dedup_components", _COMPONENTS_SQL)

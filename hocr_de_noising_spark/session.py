@@ -21,7 +21,8 @@ def get_spark(
     app_name: str = "hocr-de-noising",
     cores: int | None = None,
     shuffle_partitions: int | None = None,
-    arrow_max_records_per_batch: int = 128,
+    arrow_max_records_per_batch: int = 1024,
+    arrow_max_bytes_per_batch: str = "16m",
     extra_conf: dict | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for the span-denoise workload.
@@ -47,6 +48,14 @@ def get_spark(
         .config(
             "spark.sql.execution.arrow.maxRecordsPerBatch",
             str(arrow_max_records_per_batch),
+        )
+        # byte-aware batch bound (Spark 4): a batch closes at EITHER
+        # limit, so high row counts amortize per-batch Python overhead
+        # on small docs while one giant document can never blow up a
+        # single Arrow buffer (SURVEY §7.3 hard-part 5)
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            arrow_max_bytes_per_batch,
         )
         .config("spark.python.worker.reuse", "true")
         # sandbox-sized input splits so scan-stage parallelism tracks

@@ -28,6 +28,11 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def loadavg() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
 def run_bench(cpus: int, pin: bool = False) -> dict:
     env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus))
     cmd = [sys.executable, os.path.join(REPO, "bench.py")]
@@ -38,12 +43,21 @@ def run_bench(cpus: int, pin: bool = False) -> dict:
         # python worker PROCESSES — which deflates the measured N->4N
         # ratio below the true executor-scaling value.
         cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    load_pre = loadavg()
     out = subprocess.run(
         cmd, capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
     )
+    load_post = loadavg()
     for line in out.stdout.splitlines():
         if line.startswith("{"):
-            return json.loads(line)
+            r = json.loads(line)
+            # co-tenant load context for load-gating (r2 VERDICT):
+            # post-run loadavg minus this bench's own core budget is a
+            # (rough) proxy for external steal during the leg
+            r["loadavg_pre"] = load_pre
+            r["loadavg_post"] = load_post
+            r["loadavg_external"] = round(max(0.0, load_post - cpus), 1)
+            return r
     raise RuntimeError(f"no JSON from bench.py @ {cpus} cores:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
 
 
@@ -88,6 +102,10 @@ def main() -> None:
         "per_variant_efficiency": per_variant,
         f"headline_queries_sec_local{lo}": round(qtot8, 2),
         f"headline_queries_sec_local{hi}": round(qtot32, 2),
+        "loadavg_external": {
+            lo: results[lo].get("loadavg_external"),
+            hi: results[hi].get("loadavg_external"),
+        },
     }
     print(json.dumps(summary))
 
@@ -101,7 +119,8 @@ def main() -> None:
         "| --- | --- | --- | --- |",
         f"| de-noise throughput (docs/sec, 200k-doc corpus w/ skew plants; variant={headline}) | {thr8} | {thr32} | **{eff:.3f}** |",
         f"| per-variant efficiency | | | {per_variant} |",
-        f"| headline relational queries total (s, sf0.1) | {qtot8} | {qtot32} | |",
+        f"| headline relational queries total (s, sf0.1) | {round(qtot8, 2)} | {round(qtot32, 2)} | |",
+        f"| external loadavg after best leg | {results[lo].get('loadavg_external')} | {results[hi].get('loadavg_external')} | |",
         "",
         "Per-query seconds:",
         "",

@@ -815,6 +815,15 @@ def dedup_components(spark, sf):
     return connected_components(dedup_minhash_lsh(spark, sf))
 
 
+@register("dedup_components_star", _COMPONENTS_SQL)
+def dedup_components_star(spark, sf):
+    """Same cluster assignment computed by the alternating large-star/
+    small-star algorithm (O(log n) rounds at any graph diameter — the
+    10^12-doc path for deep candidate graphs). Deterministic, so it
+    shares dedup_components' recursive-CTE oracle bit-for-bit."""
+    return connected_components(dedup_minhash_lsh(spark, sf), algorithm="star")
+
+
 @register(
     "text_scrub",
     """SELECT doc_id,

@@ -236,80 +236,121 @@ def parse_hocr_jvm(
     df: DataFrame, doc_col: str = "doc_id", hocr_col: str = "hocr"
 ) -> DataFrame:
     """X1 fast path: WELL-FORMED Tesseract hOCR tokenized entirely
-    JVM-side — split pages on ocr_line openings, pull the six word
-    fields with aligned regexp_extract_all arrays, zip + posexplode,
-    and reconstruct carea/par ancestry from cumulative marker counts.
-    Zero Python in the scan stage (whole-stage codegen up to the two
-    per-doc windows), which is what you want for the first full-corpus
-    pass at 10^12 documents. Malformed pages that would confuse the
-    regexes belong on the tolerant ``parse_hocr`` path — use
-    ``parse_hocr_auto`` to route."""
-    w_doc = Window.partitionBy(doc_col).orderBy("chunk_pos")
-    cum_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
-
-    chunks = (
-        df.select(
-            doc_col,
-            F.posexplode(F.split(F.col(hocr_col), _LINE_SPLIT)).alias(
-                "chunk_pos", "chunk"
-            ),
-        )
-        # markers OPENED in a chunk apply to the NEXT line chunk
-        .withColumn(
-            "n_carea", F.size(F.split("chunk", r"""<div class=["']ocr_carea""")) - 1
-        )
-        .withColumn(
-            "n_par", F.size(F.split("chunk", r"""<p class=["']ocr_par""")) - 1
-        )
-        .withColumn("carea_id", F.coalesce(F.sum("n_carea").over(cum_prev), F.lit(0)) - 1)
-        .withColumn("par_glob", F.coalesce(F.sum("n_par").over(cum_prev), F.lit(0)) - 1)
-        .filter(F.col("chunk_pos") > 0)  # chunk 0 = page preamble
-    )
-    w_carea = Window.partitionBy(doc_col, "carea_id")
-    w_par = Window.partitionBy(doc_col, "carea_id", "par_glob").orderBy("chunk_pos")
-    lines = (
-        chunks.withColumn("par_id", F.col("par_glob") - F.min("par_glob").over(w_carea))
-        .withColumn("line_id", F.row_number().over(w_par) - 1)
-        .withColumn("baseline_a", F.regexp_extract("chunk", _LINE_META_RE, 1).cast("double"))
-        .withColumn("baseline_b", F.regexp_extract("chunk", _LINE_META_RE, 2).cast("double"))
-        .withColumn("x_size", F.regexp_extract("chunk", _LINE_META_RE, 3).cast("double"))
-    )
-    # ONE full-chunk regex pass (group 0: the whole word tag, ~120
-    # chars), then per-field regexp_extract over those short tag
-    # strings — ~6x less regex-scanned bytes than six aligned
-    # regexp_extract_all passes over every chunk (r3 bench finding)
-    words = lines.select(
+    JVM-side and entirely WITHIN each page row — split on ocr_line
+    openings, then compute carea/par ancestry, line ids and the global
+    word order as array higher-order functions over the chunk array
+    (cumulative counts via aggregate-over-slice, first-occurrence via
+    array_position on the monotone par counter). ZERO shuffles and
+    zero Python: the plan is scan → project → generate (r3 rewrite —
+    the previous form shuffled the whole corpus through three per-doc
+    windows, a structural loss vs the map-side Python parser at
+    10^12-doc scale; plan-asserted exchange-free in test_hocr).
+    Malformed pages that would confuse the regexes belong on the
+    tolerant ``parse_hocr`` path — use ``parse_hocr_auto`` to route."""
+    chunks = F.split(F.col(hocr_col), _LINE_SPLIT)  # [preamble, line1, ...]
+    # per-page arrays, one element per LINE chunk j (1-based over chunks)
+    page = df.select(
         doc_col,
-        "chunk_pos",
-        "carea_id",
-        "par_id",
-        "line_id",
-        "baseline_a",
-        "baseline_b",
-        "x_size",
-        F.posexplode(F.regexp_extract_all("chunk", F.lit(_WORD_RE), 0)).alias(
-            "word_id", "wtag"
+        chunks.alias("c"),
+        F.when(
+            F.size(chunks) > 1, F.sequence(F.lit(1), F.size(chunks) - 1)
+        )
+        .otherwise(F.expr("array()").cast("array<int>"))
+        .alias("idx"),
+    )
+
+    def chunk(j):  # 1-based chunk j
+        return F.element_at("c", j + F.lit(1))
+
+    def cum_before(counts, j):  # sum of counts[0..j-1] (slice is 1-based)
+        return F.aggregate(F.slice(counts, 1, j), F.lit(0), lambda a, x: a + x)
+
+    nc = F.transform("c", lambda ch: F.size(F.split(ch, r"""<div class=["']ocr_carea""")) - 1)
+    np_ = F.transform("c", lambda ch: F.size(F.split(ch, r"""<p class=["']ocr_par""")) - 1)
+    page = page.select(
+        doc_col,
+        "c",
+        "idx",
+        # markers OPENED in chunks before j apply to line chunk j
+        F.transform("idx", lambda j: cum_before(nc, j) - 1).alias("careas"),
+        F.transform("idx", lambda j: cum_before(np_, j) - 1).alias("pars"),
+        F.transform("idx", lambda j: F.regexp_extract_all(chunk(j), F.lit(_WORD_RE), 0)).alias(
+            "wtags"
         ),
+        F.transform("idx", lambda j: F.regexp_extract(chunk(j), _LINE_META_RE, 1)).alias("bas"),
+        F.transform("idx", lambda j: F.regexp_extract(chunk(j), _LINE_META_RE, 2)).alias("bbs"),
+        F.transform("idx", lambda j: F.regexp_extract(chunk(j), _LINE_META_RE, 3)).alias("xss"),
+    )
+    # par_id = par counter minus its value at the carea's first chunk;
+    # line_id = position within the par (par counter is globally
+    # monotone, so array_position finds each group's first chunk)
+    page = page.select(
+        doc_col,
+        "wtags",
+        "bas",
+        "bbs",
+        "xss",
+        "careas",
+        F.transform(
+            "idx",
+            lambda j: F.element_at("pars", j)
+            - F.element_at("pars", F.array_position("careas", F.element_at("careas", j)).cast("int")),
+        ).alias("par_ids"),
+        F.transform(
+            "idx",
+            lambda j: j - F.array_position("pars", F.element_at("pars", j)).cast("int"),
+        ).alias("line_ids"),
+        F.transform(
+            "idx",
+            lambda j: F.aggregate(
+                F.slice(F.transform("wtags", F.size), 1, j - 1), F.lit(0), lambda a, x: a + x
+            ),
+        ).alias("order_base"),
+        # NB: sequence(1, 0) yields the DESCENDING [1, 0], not an empty
+        # array — a word-less page must short-circuit here or the
+        # element_at(…, j) lookups below throw under ANSI mode
+        F.when(F.size("wtags") > 0, F.sequence(F.lit(1), F.size("wtags")))
+        .otherwise(F.expr("array()").cast("array<int>"))
+        .alias("jdx"),
     )
     g = {name: i + 1 for i, name in enumerate(["x0", "y0", "x1", "y1", "wconf", "token"])}
-    w_order = Window.partitionBy(doc_col).orderBy("chunk_pos", "word_id")
+    word_structs = F.flatten(
+        F.transform(
+            F.col("jdx"),
+            lambda j: F.transform(
+                F.element_at("wtags", j),
+                lambda tag, w: F.struct(
+                    F.element_at("careas", j).alias("carea_id"),
+                    F.element_at("par_ids", j).alias("par_id"),
+                    F.element_at("line_ids", j).alias("line_id"),
+                    w.alias("word_id"),
+                    (F.element_at("order_base", j) + w).alias("order"),
+                    tag.alias("wtag"),
+                    F.element_at("bas", j).alias("ba"),
+                    F.element_at("bbs", j).alias("bb"),
+                    F.element_at("xss", j).alias("xs"),
+                ),
+            ),
+        )
+    )
+    words = page.select(doc_col, F.explode(word_structs).alias("w"))
     return words.select(
         doc_col,
-        F.col("carea_id").cast("int"),
-        F.col("par_id").cast("int"),
-        F.col("line_id").cast("int"),
-        F.col("word_id").cast("int"),
-        (F.row_number().over(w_order) - 1).cast("int").alias("order"),
+        F.col("w.carea_id").cast("int").alias("carea_id"),
+        F.col("w.par_id").cast("int").alias("par_id"),
+        F.col("w.line_id").cast("int").alias("line_id"),
+        F.col("w.word_id").cast("int").alias("word_id"),
+        F.col("w.order").cast("int").alias("order"),
         _decode_entities(
-            F.trim(F.regexp_extract("wtag", _WORD_RE, g["token"]))
+            F.trim(F.regexp_extract("w.wtag", _WORD_RE, g["token"]))
         ).alias("token"),
         *[
-            F.regexp_extract("wtag", _WORD_RE, g[n]).cast("int").alias(n)
+            F.regexp_extract("w.wtag", _WORD_RE, g[n]).cast("int").alias(n)
             for n in ("x0", "y0", "x1", "y1", "wconf")
         ],
-        "baseline_a",
-        "baseline_b",
-        "x_size",
+        F.nullif("w.ba", F.lit("")).cast("double").alias("baseline_a"),
+        F.nullif("w.bb", F.lit("")).cast("double").alias("baseline_b"),
+        F.nullif("w.xs", F.lit("")).cast("double").alias("x_size"),
     )
 
 

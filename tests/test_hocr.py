@@ -201,6 +201,23 @@ def test_router_sends_nonstandard_pages_to_python(spark):
         assert a.asDict() == b.asDict(), (a, b)
 
 
+def test_jvm_fast_path_tolerates_stray_input(spark):
+    """parse_hocr_jvm is documented for router-sound pages, but stray
+    input (empty page, no lines, line with zero words) must yield zero
+    rows — never an ANSI element_at/sequence error (r3 regression:
+    sequence(1,0) is the DESCENDING [1,0], not empty)."""
+    from hocr_de_noising_spark.fixtures.hocr import MALFORMED
+    from hocr_de_noising_spark.operators.hocr import parse_hocr_jvm
+
+    wordless_line = _page(
+        '<span class="ocr_line" title="bbox 0 10 500 40; baseline 0 0; '
+        'x_size 42; x_descenders 9; x_ascenders 11"> </span>'
+    )
+    pages = [(f"m{i}", h) for i, h in enumerate(MALFORMED)] + [("m9", wordless_line)]
+    df = spark.createDataFrame(pages, "doc_id string, hocr string")
+    assert parse_hocr_jvm(df).count() == 0
+
+
 def test_jvm_fast_path_stays_python_free(spark):
     from hocr_de_noising_spark.fixtures.hocr import gen_hocr_corpus
     from hocr_de_noising_spark.operators.hocr import parse_hocr_jvm
@@ -209,4 +226,8 @@ def test_jvm_fast_path_stays_python_free(spark):
     df = spark.createDataFrame(pages[:2], "doc_id string, hocr string")
     plan = parse_hocr_jvm(df)._jdf.queryExecution().executedPlan().toString()
     for node in ("ArrowEvalPython", "MapInPandas", "BatchEvalPython"):
+        assert node not in plan, plan
+    # r3 HOF rewrite: the whole parse happens within each page row —
+    # no per-doc windows, no shuffle; scan → project → generate only
+    for node in ("Exchange", "Window"):
         assert node not in plan, plan

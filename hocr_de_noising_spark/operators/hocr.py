@@ -393,6 +393,15 @@ def hocr_soundness_probe(hocr_col: str):
     no_headers = ~c.contains("ocr_header") & ~c.contains("ocr_caption")
     first_line = F.regexp_instr(c, F.lit(_LINE_SPLIT))
     no_preline_words = (first_line > 0) & (first_line < F.instr(c, "ocrx_word"))
+    # every carea must open a par as its FIRST child (canonical
+    # Tesseract nesting): a line sitting directly under a carea would
+    # make the fast path's par/line counters diverge from the tolerant
+    # parser (the par counter would straddle carea boundaries)
+    nested = F.regexp_count(
+        c, F.lit(r"""<div class=["']ocr_carea""")
+    ) == F.regexp_count(
+        c, F.lit(r"""<div class=["']ocr_carea[^<]*<p class=["']ocr_par""")
+    )
     entities_ok = F.regexp_count(c, F.lit("&")) == F.regexp_count(c, F.lit(_ENTITY_RE))
     return (
         (n_marks > 0)
@@ -400,6 +409,7 @@ def hocr_soundness_probe(hocr_col: str):
         & canonical
         & no_headers
         & no_preline_words
+        & nested
         & entities_ok
     )
 

@@ -182,7 +182,16 @@ def test_router_sends_nonstandard_pages_to_python(spark):
         'x_size 42; x_descenders 9; x_ascenders 11">'
         '<span class="ocrx_word" title="bbox 1 11 9 39; x_wconf 80">styled</span></span>'
     )
+    # line directly under a carea, no par (non-Tesseract nesting): the
+    # fast path's par counter would straddle the carea boundary
+    parless = (
+        '<html><body><div class="ocr_page" title="bbox 0 0 100 100">'
+        '<div class="ocr_carea" title="bbox 0 0 100 100">' + _line(["bare"]) +
+        '</div><div class="ocr_carea" title="bbox 0 0 100 100">'
+        '<p class="ocr_par">' + _line(["ok"], li=1) + "</p></div></div></body></html>"
+    )
     pages = [
+        ("n_parless", parless),
         ("n_header", header_page),
         ("n_caption", caption_page),
         ("n_preline", preline_page),

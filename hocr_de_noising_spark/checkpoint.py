@@ -28,6 +28,7 @@ import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from hocr_de_noising_spark.obs import observation_metrics
 from hocr_de_noising_spark.params import Params, params_hash
 
 MANIFEST_SCHEMA = pa.schema(
@@ -184,10 +185,17 @@ def run_denoise_job(
         # under a different salt/n_buckets would silently misroute the
         # per-group dynamic partition overwrite. Probe a sample; on any
         # mismatch fall back to recomputing.
+        # eqNullSafe: a NULL bucket (e.g. __HIVE_DEFAULT_PARTITION__)
+        # must count as a mismatch, not vanish from the probe — NULL
+        # rows would otherwise pass here and then match NO group filter
+        # (r3 review). Head-sample caveat: a mismatch localized to
+        # late partitions can escape the 1024-row probe; a wrong
+        # salt/n_buckets scheme mismatches ~(1-1/B) of ALL rows, which
+        # is what this probe is for.
         n_bad = (
             docs.select("doc_id", "bucket")
             .limit(1024)
-            .filter(F.col("bucket") != bucket_col("doc_id", p))
+            .filter(~F.col("bucket").eqNullSafe(bucket_col("doc_id", p)))
             .count()
         )
         if n_bad:
@@ -204,11 +212,11 @@ def run_denoise_job(
         # ONE job-level probe of which groups contain giants, so a
         # giant-free group plans a single fused branch instead of
         # always paying the exploded branch's shuffle/setup machinery
-        # (VERDICT r2 item 1). Uses the n_spans stats column when the
-        # ingest wrote one (SURVEY §4.1 — int column, no array scan).
-        giant = (
-            F.col("n_spans") if "n_spans" in docs_b.columns else n_spans_in_expr
-        ) > p.max_spans_per_doc
+        # (VERDICT r2 item 1). Deliberately computed from size(spans)
+        # — the same expression the branch split uses — never from an
+        # at-rest stats column that could be stale and route a true
+        # giant through the Python worker (r3 review).
+        giant = n_spans_in_expr > p.max_spans_per_doc
         giant_groups = {
             r.g
             for r in docs_b.filter(giant)
@@ -273,23 +281,13 @@ def run_denoise_job(
 
         # observation values are available once the write action above
         # finishes — the ONLY job this group runs. A branch AQE proved
-        # empty gets its CollectMetrics node pruned and never reports;
+        # empty reports a definitive empty metrics row (= all-zero);
         # pyspark's blocking Observation.get would HANG on that (ADVICE
-        # r2), so read via the JVM's bounded getRowOrEmpty (~100 ms
-        # wait) and treat a never-reported node as all-zero metrics.
-        def obs_get(o: Observation) -> dict:
-            from pyspark.serializers import CPickleSerializer
-
-            jopt = o._jo.getRowOrEmpty()
-            # a pruned/never-reported node yields None or a schema-less
-            # empty Row — both mean "no metrics", i.e. all-zero
-            if not jopt.isDefined() or jopt.get().size() == 0:
-                return {}
-            utils = getattr(o._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
-            return CPickleSerializer().loads(utils.toPyRow(jopt.get())).asDict()
-
-        in_vals = [obs_get(o) for o in in_obs]
-        out_vals = obs_get(out_obs)
+        # r2), and a single bounded read can race the ASYNC listener
+        # bus under load, so observation_metrics polls boundedly and
+        # distinguishes late delivery from a pruned node (r3 review).
+        in_vals = [observation_metrics(o) or {} for o in in_obs]
+        out_vals = observation_metrics(out_obs) or {}
         now = int(time.time() * 1e6)
         rows = []
         for b in pending:

@@ -281,9 +281,15 @@ def parse_hocr_jvm(
         F.transform("idx", lambda j: F.regexp_extract(chunk(j), _LINE_META_RE, 2)).alias("bbs"),
         F.transform("idx", lambda j: F.regexp_extract(chunk(j), _LINE_META_RE, 3)).alias("xss"),
     )
+    page = page.withColumn("wc", F.transform("wtags", F.size))
     # par_id = par counter minus its value at the carea's first chunk;
     # line_id = position within the par (par counter is globally
-    # monotone, so array_position finds each group's first chunk)
+    # monotone, so array_position finds each group's first chunk).
+    # The aggregate-over-slice prefix sums are O(L²) in line count per
+    # page — trivial at real page sizes (~40 lines → ~1.6k int adds)
+    # and bounded by the router (giant pathological pages are not
+    # Tesseract-shaped); wc is hoisted so the slice source is computed
+    # once per page, not once per element (r3 review).
     page = page.select(
         doc_col,
         "wtags",
@@ -303,7 +309,7 @@ def parse_hocr_jvm(
         F.transform(
             "idx",
             lambda j: F.aggregate(
-                F.slice(F.transform("wtags", F.size), 1, j - 1), F.lit(0), lambda a, x: a + x
+                F.slice("wc", 1, j - 1), F.lit(0), lambda a, x: a + x
             ),
         ).alias("order_base"),
         # NB: sequence(1, 0) yields the DESCENDING [1, 0], not an empty
@@ -393,6 +399,19 @@ def hocr_soundness_probe(hocr_col: str):
     no_headers = ~c.contains("ocr_header") & ~c.contains("ocr_caption")
     first_line = F.regexp_instr(c, F.lit(_LINE_SPLIT))
     no_preline_words = (first_line > 0) & (first_line < F.instr(c, "ocrx_word"))
+    # no word may follow a carea/par opening without an ocr_line in
+    # between ANYWHERE on the page — in the chunk decomposition such a
+    # word attaches to the PREVIOUS line's chunk, so the fast path
+    # would emit it with the old ancestry while the tolerant parser
+    # assigns it to the new container (r3 review: the first_line check
+    # alone only guards the page preamble)
+    no_stray_words = ~F.exists(
+        F.split(c, _LINE_SPLIT),
+        lambda ch: ch.rlike(
+            r"""(?s)(<div class=["']ocr_carea|<p class=["']ocr_par)"""
+            r""".*<span class=["']ocrx_word"""
+        ),
+    )
     # every carea must open a par as its FIRST child (canonical
     # Tesseract nesting): a line sitting directly under a carea would
     # make the fast path's par/line counters diverge from the tolerant
@@ -409,6 +428,7 @@ def hocr_soundness_probe(hocr_col: str):
         & canonical
         & no_headers
         & no_preline_words
+        & no_stray_words
         & nested
         & entities_ok
     )

@@ -670,16 +670,15 @@ def _observed_checkpoint(df, metric_col: str) -> tuple:
     Returns (checkpointed_df, changed_count_or_None); None means the
     metrics node did not report through this action type — callers fall
     back to an explicit count."""
-    from pyspark.serializers import CPickleSerializer
     from pyspark.sql import Observation
+
+    from hocr_de_noising_spark.obs import observation_metrics
 
     o = Observation()
     ck = df.observe(o, F.sum(F.col(metric_col).cast("long")).alias("changed")).localCheckpoint()
-    jopt = o._jo.getRowOrEmpty()  # bounded ~100ms wait, never blocks
-    if not jopt.isDefined() or jopt.get().size() == 0:
+    row = observation_metrics(o, timeout_s=5.0)
+    if row is None:
         return ck, None
-    utils = getattr(o._jvm, "org.apache.spark.sql.api.python.PythonSQLUtils")
-    row = CPickleSerializer().loads(utils.toPyRow(jopt.get())).asDict()
     val = row.get("changed")
     return ck, int(val) if val is not None else 0
 
@@ -739,8 +738,14 @@ def connected_components(pairs, max_iters: int = 20, algorithm: str = "propagate
             changed = new_labels.filter("_changed").count()
         labels = new_labels.drop("_changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # partially-propagated labels under-merge components → silent
+    # duplicate retention downstream; fail loudly instead (r3 review)
+    raise RuntimeError(
+        f"connected_components(propagate) did not converge in {max_iters} "
+        "iterations — raise max_iters or use algorithm='star' "
+        "(O(log n) rounds at any graph diameter)"
+    )
 
 
 def _components_star(pairs, max_iters: int = 30):
@@ -801,6 +806,13 @@ def _components_star(pairs, max_iters: int = 30):
             edges = nxt
             break
         edges, n_edges = nxt, n_nxt
+    else:
+        # min-parent collapse of a NON-star edge set under-merges
+        # components (the docstring's own hazard) — fail loudly
+        raise RuntimeError(
+            f"connected_components(star) did not reach its edge-set "
+            f"fixpoint in {max_iters} rounds"
+        )
     comp = edges.groupBy("child").agg(F.min("parent").alias("parent"))
     return nodes.join(
         comp.select(F.col("child").alias("doc_id"), "parent"), "doc_id", "left"

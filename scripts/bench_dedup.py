@@ -50,11 +50,11 @@ def write_dedup_corpus(spark, n_docs: int) -> str:
         (F.col("id") / cluster_size).cast("long").alias("cluster"),
         (F.col("id") % cluster_size).alias("member"),
     )
-    planted = (F.col("cluster") % 10 == 0) & (F.col("member") > 0)
-    exact_dup = planted & (F.col("member") >= 8)  # members 8,9 = exact copies
-    seed = F.when(planted, F.col("cluster") * F.lit(1000)).otherwise(F.col("doc_id"))
-    # token t of doc = md5(seed:t) prefix; near-dups replace tokens at
-    # positions (member, member+17) with member-specific tokens
+    # plant logic (encoded in the SQL expr below): clusters with
+    # cluster%10==0 share seed=cluster*1000 — members 1..7 are
+    # near-dups (2 token substitutions), members 0/8/9 exact copies;
+    # all other docs are unique (seed=doc_id).
+    # token t of doc = md5(seed:t) prefix
     tok = (
         "transform(sequence(0, {n}), t -> "
         "  CASE WHEN {nd} AND t IN (CAST(member AS INT), CAST(member AS INT) + 17) "
@@ -75,7 +75,6 @@ def write_dedup_corpus(spark, n_docs: int) -> str:
         F.lit("en").alias("lang"),
         F.lit("synthetic").alias("source"),
     ).withColumn("n_chars", F.length("text").cast("int"))
-    _ = exact_dup, seed, planted  # documented above; folded into the SQL expr
     docs.repartition(64).write.mode("overwrite").parquet(
         os.path.join(d, "documents.parquet")
     )
@@ -108,11 +107,12 @@ def main() -> None:
     total = round(time.time() - t0, 2)
 
     # recall on planted structure: every planted cluster (10 members)
-    # should collapse to ONE keeper
-    comps = spark.read.parquet(os.path.join(out, "components"))
+    # should collapse to ONE keeper, so removed == planted dup members
+    clustered = spark.read.parquet(os.path.join(out, "components")).count()
     planted_docs = args.docs // 100 * 9  # 9 non-base members per planted cluster
-    clustered = comps.count()
     keepers = spark.read.parquet(os.path.join(out, "keepers")).count()
+    removed = args.docs - keepers
+    recall = round(removed / planted_docs, 4)
     docs_per_sec = round(args.docs / total, 1)
 
     result = {
@@ -121,12 +121,14 @@ def main() -> None:
         "total_sec": total,
         "docs_per_sec": docs_per_sec,
         "planted_dup_docs": planted_docs,
+        "clustered_docs": clustered,
         "summary": summary,
         "keepers": keepers,
-        "dedup_removed": args.docs - keepers,
+        "dedup_removed": removed,
+        "planted_recall": recall,
     }
     print(json.dumps(result))
-    _ = F, clustered
+    _ = F
 
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     stamp = datetime.datetime.now(datetime.timezone.utc).strftime("%Y-%m-%d %H:%M UTC")
@@ -143,7 +145,7 @@ def main() -> None:
         f"| candidate_pairs (LSH) | {summary['candidate_pairs']} |",
         f"| verified_pairs (jaccard>=0.5) | {summary['verified_pairs']} |",
         f"| clustered_docs | {summary['clustered_docs']} |",
-        f"| keepers | {keepers} (removed {args.docs - keepers} of {planted_docs} planted dup members) |",
+        f"| keepers | {keepers} (removed {removed} of {planted_docs} planted dup members — recall {recall}) |",
     ]
     with open(md, "a") as f:
         f.write("\n".join(lines) + "\n")

@@ -107,11 +107,18 @@ def main() -> None:
     }
     total_mb = args.rows * args.mb
 
-    for max_rec in (2, 16, 128):
+    # first three legs disable the byte cap so the ROW-COUNT variable is
+    # actually isolated (with the session default 16m byte bound, 16-
+    # and 128-record legs would silently measure identical 4-row
+    # batches — r3 review); the last leg is the production default
+    # showing the byte bound doing its job
+    settings = [(2, "1g"), (16, "1g"), (128, "1g"), (128, "16m")]
+    for max_rec, max_bytes in settings:
         spark = get_spark(
-            f"mmbench-{max_rec}",
+            f"mmbench-{max_rec}-{max_bytes}",
             cores=args.cores,
             arrow_max_records_per_batch=max_rec,
+            arrow_max_bytes_per_batch=max_bytes,
             extra_conf={
                 # one scan split per row group so all cores pull rows
                 "spark.sql.files.maxPartitionBytes": "8m",
@@ -136,7 +143,7 @@ def main() -> None:
         sample_frames(media).write.format("noop").mode("overwrite").save()
         frames = time.time() - t0
 
-        results["per_batch_setting"][max_rec] = {
+        results["per_batch_setting"][f"{max_rec} rec / {max_bytes} bytes"] = {
             "max_batch_mb_observed": max_batch_mb,
             "max_batch_rows_observed": int(shapes["batch_rows"].max()),
             "decode_sec": round(dec, 2),
@@ -153,7 +160,7 @@ def main() -> None:
     lines = [
         f"\n## Multimodal binary-heavy bench {stamp} "
         f"({args.rows} rows x {args.mb} MB fake-codec media, {args.cores} cores)\n",
-        "| maxRecordsPerBatch | max Arrow batch observed | decode | decode MB/s | features | frame-sample |",
+        "| maxRecordsPerBatch / maxBytesPerBatch | max Arrow batch observed | decode | decode MB/s | features | frame-sample |",
         "| --- | --- | --- | --- | --- | --- |",
     ]
     for k, v in results["per_batch_setting"].items():

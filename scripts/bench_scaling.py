@@ -91,8 +91,13 @@ def main() -> None:
     thr8 = round(n_docs / q8[headline], 1)
     thr32 = round(n_docs / q32[headline], 1)
     eff = (thr32 / thr8) / (hi / lo)
-    qtot8 = sum(v for k, v in q8.items() if not k.startswith("denoise"))
-    qtot32 = sum(v for k, v in q32.items() if not k.startswith("denoise"))
+    # only the sf0.1 relational/trainprep headline queries — denoise
+    # variants have their own metric, and the hOCR-ingest / composed
+    # dedup-job timings are different corpora whose inclusion would
+    # break comparability with earlier rounds' rows (r3 review)
+    skip = ("denoise", "hocr_ingest", "dedup_job")
+    qtot8 = sum(v for k, v in q8.items() if not k.startswith(skip))
+    qtot32 = sum(v for k, v in q32.items() if not k.startswith(skip))
 
     summary = {
         f"denoise_docs_per_sec_local{lo}": thr8,

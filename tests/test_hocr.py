@@ -190,8 +190,20 @@ def test_router_sends_nonstandard_pages_to_python(spark):
         '</div><div class="ocr_carea" title="bbox 0 0 100 100">'
         '<p class="ocr_par">' + _line(["ok"], li=1) + "</p></div></div></body></html>"
     )
+    # stray word AFTER the page's first line: carea2's par holds a word
+    # before its own first line — the chunk decomposition would attach
+    # it to carea1's last line (r3 review finding)
+    midstray = (
+        '<html><body><div class="ocr_page" title="bbox 0 0 100 100">'
+        '<div class="ocr_carea" title="bbox 0 0 100 100"><p class="ocr_par">'
+        + _line(["first"]) + "</p></div>"
+        '<div class="ocr_carea" title="bbox 0 0 100 100"><p class="ocr_par">'
+        '<span class="ocrx_word" title="bbox 1 1 5 5; x_wconf 70">stray</span>'
+        + _line(["second"], li=1) + "</p></div></div></body></html>"
+    )
     pages = [
         ("n_parless", parless),
+        ("n_midstray", midstray),
         ("n_header", header_page),
         ("n_caption", caption_page),
         ("n_preline", preline_page),

@@ -124,3 +124,33 @@ def test_dedup_job_end_to_end(spark, tmp_path):
     n_docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).count()
     n_dropped = comps.filter("doc_id <> component").count()
     assert s["keepers"] == n_docs - n_dropped
+
+
+def test_trainprep_job_end_to_end(spark, tmp_path):
+    """jobs/run_trainprep.py composition: scrub -> quality/lang gates ->
+    dedup -> split. Invariants: monotone shrinking counts, only gated
+    languages survive, digits are masked, splits assigned, no doc kept
+    twice."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    import pyspark.sql.functions as F
+
+    out = str(tmp_path / "prep")
+    s = run_trainprep_job(
+        spark, SF_DIR, out, min_quality=0.4, langs=("en",), jaccard_threshold=0.05
+    )
+    assert s["n_input"] >= s["n_after_gates"] >= s["n_final"] > 0
+    assert s["gated_out"] > 0  # the sf corpus plants non-en/low-quality docs
+    assert s["dedup_removed"] == s["n_after_gates"] - s["n_final"]
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.count() == s["n_final"]
+    assert {r.lang for r in corpus.select("lang").distinct().collect()} == {"en"}
+    assert {r.split for r in corpus.select("split").distinct().collect()} <= {
+        "train", "val", "test"
+    }
+    assert corpus.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # scrub ran: no digit runs survive in the final text
+    assert corpus.filter(F.col("text").rlike("[0-9]")).count() == 0

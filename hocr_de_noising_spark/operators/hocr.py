@@ -415,11 +415,20 @@ def hocr_soundness_probe(hocr_col: str):
     # every carea must open a par as its FIRST child (canonical
     # Tesseract nesting): a line sitting directly under a carea would
     # make the fast path's par/line counters diverge from the tolerant
-    # parser (the par counter would straddle carea boundaries)
-    nested = F.regexp_count(
-        c, F.lit(r"""<div class=["']ocr_carea""")
-    ) == F.regexp_count(
-        c, F.lit(r"""<div class=["']ocr_carea[^<]*<p class=["']ocr_par""")
+    # parser (the par counter would straddle carea boundaries). The
+    # page must also HAVE a carea, and the first carea must precede
+    # the first line — a line before any carea gets carea_id=-1 on the
+    # fast path where the tolerant parser clamps to 0 (r3 review)
+    first_carea = F.regexp_instr(c, F.lit(r"""<div class=["']ocr_carea"""))
+    nested = (
+        (
+            F.regexp_count(c, F.lit(r"""<div class=["']ocr_carea"""))
+            == F.regexp_count(
+                c, F.lit(r"""<div class=["']ocr_carea[^<]*<p class=["']ocr_par""")
+            )
+        )
+        & (first_carea > 0)
+        & (first_carea < first_line)
     )
     entities_ok = F.regexp_count(c, F.lit("&")) == F.regexp_count(c, F.lit(_ENTITY_RE))
     return (

@@ -201,9 +201,19 @@ def test_router_sends_nonstandard_pages_to_python(spark):
         '<span class="ocrx_word" title="bbox 1 1 5 5; x_wconf 70">stray</span>'
         + _line(["second"], li=1) + "</p></div></div></body></html>"
     )
+    # line before any carea: tolerant parser clamps carea_id to 0, the
+    # fast path's cumulative counter would say -1 (r3 review)
+    precarea = (
+        '<html><body><div class="ocr_page" title="bbox 0 0 100 100">'
+        + _line(["floating"])
+        + '<div class="ocr_carea" title="bbox 0 0 100 100"><p class="ocr_par">'
+        + _line(["anchored"], li=1)
+        + "</p></div></div></body></html>"
+    )
     pages = [
         ("n_parless", parless),
         ("n_midstray", midstray),
+        ("n_precarea", precarea),
         ("n_header", header_page),
         ("n_caption", caption_page),
         ("n_preline", preline_page),

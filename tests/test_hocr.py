@@ -232,6 +232,62 @@ def test_router_sends_nonstandard_pages_to_python(spark):
         assert a.asDict() == b.asDict(), (a, b)
 
 
+def test_auto_router_fuzz_differential(spark):
+    """Differential fuzz: RANDOM page structures mixing canonical and
+    nonstandard features (headers, stray words, pre-carea lines,
+    par-less careas, entity variants, odd class lists, malformed tails)
+    must satisfy parse_hocr_auto == parse_hocr unconditionally — the
+    router may route anything to Python, but whatever it sends to the
+    JVM path must be record-exact."""
+    import random
+
+    from hocr_de_noising_spark.operators.hocr import parse_hocr, parse_hocr_auto
+
+    def rand_page(rng: random.Random) -> str:
+        toks = ["lord", "haue", "AT&amp;T", "caf&eacute;", "&lt;x&gt;", "it&#39;s",
+                "AT&amp T", "pe&ce", "vp", "&amp;lt;"]
+        parts = ['<html><body><div class="ocr_page" title="bbox 0 0 2480 3508">']
+        if rng.random() < 0.15:  # stray word in the preamble
+            parts.append('<span class="ocrx_word" title="bbox 1 1 9 9; x_wconf 10">pre</span>')
+        if rng.random() < 0.1:  # line before any carea
+            parts.append(_line([rng.choice(toks)]))
+        for ci in range(rng.randint(1, 3)):
+            parts.append(f'<div class="ocr_carea" title="bbox {ci} 0 99 99">')
+            if rng.random() < 0.1:  # par-less line directly under carea
+                parts.append(_line([rng.choice(toks)], li=9))
+            for pi in range(rng.randint(1, 2)):
+                parts.append('<p class="ocr_par" lang="eng">')
+                if rng.random() < 0.1:  # stray word before the par's first line
+                    parts.append(
+                        '<span class="ocrx_word" title="bbox 2 2 8 8; x_wconf 20">mid</span>'
+                    )
+                for li in range(rng.randint(1, 4)):
+                    words = [rng.choice(toks) for _ in range(rng.randint(1, 5))]
+                    line = _line(words, li=li)
+                    if rng.random() < 0.08:  # odd class position
+                        line = line.replace('class="ocr_line"', 'class="bold ocr_line"', 1)
+                    if rng.random() < 0.08:  # header instead of line
+                        line = line.replace('class="ocr_line"', 'class="ocr_header"', 1)
+                    parts.append(line)
+                parts.append("</p>")
+            parts.append("</div>")
+        parts.append("</div></body></html>")
+        page = "".join(parts)
+        if rng.random() < 0.08:  # truncate mid-tag (malformed tail)
+            page = page[: rng.randint(len(page) // 2, len(page) - 1)]
+        return page
+
+    rng = random.Random(2026)
+    pages = [(f"fz{i:04d}", rand_page(rng)) for i in range(120)]
+    df = spark.createDataFrame(pages, "doc_id string, hocr string")
+    cols = ["doc_id", "order"]
+    py = parse_hocr(df).orderBy(*cols).collect()
+    auto = parse_hocr_auto(df).orderBy(*cols).collect()
+    assert len(py) == len(auto) and len(py) > 100
+    for a, b in zip(py, auto):
+        assert a.asDict() == b.asDict(), (a, b)
+
+
 def test_jvm_fast_path_tolerates_stray_input(spark):
     """parse_hocr_jvm is documented for router-sound pages, but stray
     input (empty page, no lines, line with zero words) must yield zero

@@ -98,6 +98,24 @@ def test_contract_shapes():
     assert len(qs) >= 40
 
 
+def test_rotation_policy_invariants():
+    """The driver caps CORRECTNESS at 50 rows; whatever the ordering
+    cuts must have a green row from the immediately previous round, and
+    keys changed since their last green row must lead the window."""
+    import json
+
+    import __spark_entry__ as entry_mod
+
+    order = list(entry_mod.queries())
+    prev_green = set(
+        json.load(open(os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_r02.json")))
+    )
+    cut = order[50:]
+    assert all(k in prev_green for k in cut), f"cut keys lack a fresh row: {cut}"
+    for i, k in enumerate(entry_mod._CHANGED_SINCE_GREEN):
+        assert order[i] == k, "changed-since-green keys must lead the window"
+
+
 def test_dedup_job_end_to_end(spark, tmp_path):
     """jobs/run_dedup.py composition: candidate -> cluster -> keepers,
     with the invariants a dedup pipeline must hold: every cluster keeps

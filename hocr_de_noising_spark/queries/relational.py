@@ -297,6 +297,26 @@ def agg_rollup(spark, sf):
 
 
 @register(
+    "agg_grouping_sets",
+    """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+              count(*) AS n_docs
+       FROM documents GROUP BY GROUPING SETS ((lang), (source))""",
+)
+def agg_grouping_sets(spark, sf):
+    """A4: arbitrary (non-hierarchical) grouping sets — ((lang),
+    (source)) is expressible by neither rollup nor cube alone. Spark
+    4.1 has no DataFrame-side grouping_sets, so this key goes through
+    SQL (SURVEY §2.5)."""
+    load(spark, sf, "documents").createOrReplaceTempView("documents_gsets")
+    return spark.sql(
+        """SELECT coalesce(lang, 'ALL') AS lang,
+                  coalesce(source, 'ALL') AS source,
+                  count(*) AS n_docs
+           FROM documents_gsets GROUP BY GROUPING SETS ((lang), (source))"""
+    )
+
+
+@register(
     "agg_dedup_first",
     """SELECT user_id, event_id AS first_event
        FROM (SELECT user_id, event_id,

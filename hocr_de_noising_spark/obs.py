@@ -24,8 +24,30 @@ def observation_metrics(o: Observation, timeout_s: float = 10.0) -> dict | None:
 
     Never blocks indefinitely. A schema-less empty Row (how a pruned
     node surfaces) is treated the same as no row.
+
+    The bounded JVM read needs the classic API's ``Observation._jo``;
+    under Spark Connect ``Observation.__new__`` returns a
+    ConnectObservation with no ``_jo`` (ADVICE r3), so that path falls
+    back to ``Observation.get`` on a daemon thread with the same
+    deadline — still never blocking the caller indefinitely.
     """
     from pyspark.serializers import CPickleSerializer
+
+    if not hasattr(o, "_jo"):  # Spark Connect session
+        import threading
+
+        box: dict = {}
+
+        def _get():
+            try:
+                box["row"] = o.get
+            except Exception:
+                pass
+
+        t = threading.Thread(target=_get, daemon=True)
+        t.start()
+        t.join(timeout_s)
+        return dict(box["row"]) if "row" in box else None
 
     deadline = time.monotonic() + timeout_s
     while True:

@@ -203,6 +203,16 @@ _WORD_RE = (
     r"""([^<]*)</span>"""
 )
 _LINE_SPLIT = r"""<span class=["']ocr_line"""
+# Python str.strip()'s exact whitespace set (all chars where
+# str.isspace() is true) as a Java-regex character class — the fast
+# path must trim tokens IDENTICALLY to the tolerant parser's
+# "".join(text).strip(), and F.trim / Java \s cover only subsets
+# (ADVICE r3: '\tword\n' inside a sound word span diverged)
+_PY_WS = (
+    "\t\n\x0b\x0c\r\x1c\x1d\x1e\x1f \x85\xa0\u1680"
+    "\u2000-\u200a\u2028\u2029\u202f\u205f\u3000"
+)
+_PY_STRIP_RE = f"^[{_PY_WS}]+|[{_PY_WS}]+$"
 _LINE_META_RE = (
     r"""^[^>]*title=["']bbox \d+ \d+ \d+ \d+; """
     r"""baseline ([-\d.]+) ([-\d.]+); x_size ([\d.]+)"""
@@ -348,7 +358,11 @@ def parse_hocr_jvm(
         F.col("w.word_id").cast("int").alias("word_id"),
         F.col("w.order").cast("int").alias("order"),
         _decode_entities(
-            F.trim(F.regexp_extract("w.wtag", _WORD_RE, g["token"]))
+            F.regexp_replace(
+                F.regexp_extract("w.wtag", _WORD_RE, g["token"]),
+                _PY_STRIP_RE,
+                "",
+            )
         ).alias("token"),
         *[
             F.regexp_extract("w.wtag", _WORD_RE, g[n]).cast("int").alias(n)

@@ -683,7 +683,9 @@ def _observed_checkpoint(df, metric_col: str) -> tuple:
     return ck, int(val) if val is not None else 0
 
 
-def connected_components(pairs, max_iters: int = 20, algorithm: str = "propagate"):
+def connected_components(
+    pairs, max_iters: int | None = None, algorithm: str = "propagate"
+):
     """Connected components over an undirected (doc_a, doc_b) pair
     graph: every doc's label converges to the smallest doc_id in its
     component — the canonical representative the union-find dedup step
@@ -701,8 +703,13 @@ def connected_components(pairs, max_iters: int = 20, algorithm: str = "propagate
     ``localCheckpoint`` truncates the growing lineage so the plan stays
     O(1) per iteration, and the convergence count rides that SAME
     materialization via df.observe (one action per round)."""
+    # per-algorithm defaults resolved HERE so the public API cannot
+    # silently narrow a variant's headroom (ADVICE r3: forwarding
+    # propagate's 20 made _components_star's documented 30 unreachable)
     if algorithm == "star":
-        return _components_star(pairs, max_iters)
+        return _components_star(pairs, 30 if max_iters is None else max_iters)
+    if max_iters is None:
+        max_iters = 20
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionByName(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))

@@ -245,7 +245,10 @@ def test_auto_router_fuzz_differential(spark):
 
     def rand_page(rng: random.Random) -> str:
         toks = ["lord", "haue", "AT&amp;T", "caf&eacute;", "&lt;x&gt;", "it&#39;s",
-                "AT&amp T", "pe&ce", "vp", "&amp;lt;"]
+                "AT&amp T", "pe&ce", "vp", "&amp;lt;",
+                # intra-span whitespace (ADVICE r3): the fast path must
+                # trim exactly like str.strip(), incl. tabs/newlines/nbsp
+                "\tword\n", " sp ", "a b", " em ", "nl\nin"]
         parts = ['<html><body><div class="ocr_page" title="bbox 0 0 2480 3508">']
         if rng.random() < 0.15:  # stray word in the preamble
             parts.append('<span class="ocrx_word" title="bbox 1 1 9 9; x_wconf 10">pre</span>')

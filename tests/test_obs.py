@@ -28,6 +28,29 @@ def test_no_action_times_out_quickly(spark):
     assert time.time() - t0 < 5  # bounded — never blocks like Observation.get
 
 
+def test_connect_shaped_observation_fallback():
+    """ADVICE r3: under Spark Connect, Observation has no ``_jo`` —
+    the reader must fall back to a deadline-bounded ``.get`` read
+    instead of crashing with AttributeError."""
+    import time
+
+    class _Delivered:  # ConnectObservation shape: .get property, no _jo
+        @property
+        def get(self):
+            return {"s": 7}
+
+    class _NeverDelivers:
+        @property
+        def get(self):
+            time.sleep(60)
+            return {}
+
+    assert observation_metrics(_Delivered(), timeout_s=2.0) == {"s": 7}
+    t0 = time.time()
+    assert observation_metrics(_NeverDelivers(), timeout_s=0.5) is None
+    assert time.time() - t0 < 5
+
+
 def test_metrics_through_local_checkpoint(spark):
     """The components loops fold their convergence count into the
     localCheckpoint materialization — the listener must deliver through

@@ -540,6 +540,48 @@ def ann_lsh_bucketed(spark, sf):
 
 # ---------------------------------------------------------- text analysis --
 
+# Shared Column-expression builders for the corpus gate operators.
+# Factored out of the registry functions (VERDICT r3 item 1) so the
+# composed trainprep job can stack EVERY gate expression over ONE
+# documents scan — Catalyst does NOT collapse self-equi-joins of the
+# same table, so composing the registry DataFrames via join would plan
+# three full-corpus shuffle joins where zero are needed.
+
+
+def lang_exprs(text: str = "text") -> dict:
+    """lang_id's computed columns keyed by their registry aliases."""
+    n_e = F.length(text) - F.length(F.replace(F.col(text), F.lit("e"), F.lit("")))
+    ratio = n_e.cast("double") / F.length(text)
+    return {
+        "e_ratio": F.round(ratio, 4),
+        "pred_lang": F.when(ratio > 0.08, "en").otherwise("other"),
+    }
+
+
+def quality_exprs(text: str = "text") -> dict:
+    """quality_score's computed columns keyed by their registry aliases."""
+    keep = F.length(F.regexp_replace(text, r"[^\p{L} ]", ""))
+    punct_ratio = F.lit(1.0) - keep.cast("double") / F.length(text)
+    n_tokens = F.size(F.split(text, " "))
+    quality = 0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.5 * (
+        keep.cast("double") / F.length(text)
+    )
+    return {
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(punct_ratio, 4),
+        "quality": F.round(quality, 4),
+    }
+
+
+def scrub_exprs(text: str = "text") -> dict:
+    """text_scrub's computed columns keyed by their registry aliases."""
+    masked = F.regexp_replace(text, "[0-9]+", "<NUM>")
+    return {
+        "scrubbed": F.trim(F.regexp_replace(masked, " +", " ")),
+        "n_masked": F.size(F.expr(f"regexp_extract_all({text}, '[0-9]+', 0)")),
+    }
+
+
 @register(
     "lang_id",
     """SELECT doc_id, lang,
@@ -551,17 +593,11 @@ def ann_lsh_bucketed(spark, sf):
 )
 def lang_id(spark, sf):
     """Language-ID n-gram heuristic (character-frequency score)."""
-    n_e = F.length("text") - F.length(F.replace(F.col("text"), F.lit("e"), F.lit("")))
-    ratio = n_e.cast("double") / F.length("text")
+    e = lang_exprs()
     return (
         load(spark, sf, "documents")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select(
-            "doc_id",
-            "lang",
-            F.round(ratio, 4).alias("e_ratio"),
-            F.when(ratio > 0.08, "en").otherwise("other").alias("pred_lang"),
-        )
+        .select("doc_id", "lang", *[c.alias(n) for n, c in e.items()])
     )
 
 
@@ -578,21 +614,11 @@ def lang_id(spark, sf):
 )
 def quality_score(spark, sf):
     """Quality scoring: length + punctuation-ratio heuristics."""
-    keep = F.length(F.regexp_replace("text", r"[^\p{L} ]", ""))
-    punct_ratio = F.lit(1.0) - keep.cast("double") / F.length("text")
-    n_tokens = F.size(F.split("text", " "))
-    quality = 0.5 * F.least(n_tokens / F.lit(100.0), F.lit(1.0)) + 0.5 * (
-        keep.cast("double") / F.length("text")
-    )
+    e = quality_exprs()
     return (
         load(spark, sf, "documents")
         .filter(F.col("text").isNotNull() & (F.length("text") > 0))
-        .select(
-            "doc_id",
-            n_tokens.alias("n_tokens"),
-            F.round(punct_ratio, 4).alias("punct_ratio"),
-            F.round(quality, 4).alias("quality"),
-        )
+        .select("doc_id", *[c.alias(n) for n, c in e.items()])
     )
 
 
@@ -856,15 +882,11 @@ def text_scrub(spark, sf):
     shape — swap the pattern for emails/SSNs/URLs in a real corpus),
     collapse whitespace, and count masked sites. Pure JVM regexp —
     one map-side pass, no shuffle."""
-    masked = F.regexp_replace("text", "[0-9]+", "<NUM>")
+    e = scrub_exprs()
     return (
         load(spark, sf, "documents")
         .filter(F.col("text").isNotNull())
-        .select(
-            "doc_id",
-            F.trim(F.regexp_replace(masked, " +", " ")).alias("scrubbed"),
-            F.size(F.expr("regexp_extract_all(text, '[0-9]+', 0)")).alias("n_masked"),
-        )
+        .select("doc_id", *[c.alias(n) for n, c in e.items()])
     )
 
 

@@ -34,13 +34,44 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
-    lang_id,
-    quality_score,
-    text_scrub,
+    lang_exprs,
+    quality_exprs,
+    scrub_exprs,
 )
 from hocr_de_noising_spark.queries.util import load  # noqa: E402
 from hocr_de_noising_spark.session import get_spark  # noqa: E402
 from jobs.run_dedup import run_dedup_job  # noqa: E402
+
+
+def gate_stage(docs, min_quality: float, langs: tuple[str, ...]):
+    """Stages 1-3 as ONE map-side projection of a single documents
+    scan: every gate expression (scrub/quality/lang) is a pure Column
+    over ``text``, stacked via select — zero joins, zero shuffles
+    (VERDICT r3 item 1: composing the three registry DataFrames via
+    doc_id equi-joins planned 3 full-corpus shuffle joins, because
+    Catalyst does not collapse self-equi-joins of the same table).
+    Output is the documents.parquet layout the dedup job consumes."""
+    ex = {**scrub_exprs(), **quality_exprs(), **lang_exprs()}
+    return (
+        docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            "source",
+            ex["scrubbed"].alias("text"),
+            ex["quality"].alias("quality"),
+            ex["pred_lang"].alias("lang"),
+        )
+        .filter(
+            (F.col("quality") >= min_quality) & F.col("lang").isin(list(langs))
+        )
+        .select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.length("text").cast("int").alias("n_chars"),
+        )
+    )
 
 
 def run_trainprep_job(
@@ -64,33 +95,11 @@ def run_trainprep_job(
     docs = load(spark, sf_dir, "documents")
     n_in = docs.count()
 
-    # stages 1-3: one map-side pass each, joined on doc_id (all three
-    # registry queries are pure projections of documents, so Catalyst
-    # collapses the joins over the common scan where possible)
+    # stages 1-3: ONE map-side projection over a single scan
     filtered_dir = os.path.join(out_dir, "filtered")
 
     def write_filtered():
-        scrubbed = text_scrub(spark, sf_dir).select("doc_id", "scrubbed")
-        quality = quality_score(spark, sf_dir).select("doc_id", "quality")
-        lang = lang_id(spark, sf_dir).select("doc_id", "pred_lang")
-        kept = (
-            docs.select("doc_id", "source")
-            .join(scrubbed, "doc_id")
-            .join(quality, "doc_id")
-            .join(lang, "doc_id")
-            .filter(
-                (F.col("quality") >= min_quality)
-                & F.col("pred_lang").isin(list(langs))
-            )
-        )
-        # documents.parquet layout so the dedup job can run on it
-        kept.select(
-            "doc_id",
-            F.col("scrubbed").alias("text"),
-            F.col("pred_lang").alias("lang"),
-            "source",
-            F.length("scrubbed").cast("int").alias("n_chars"),
-        ).write.mode("overwrite").parquet(
+        gate_stage(docs, min_quality, langs).write.mode("overwrite").parquet(
             os.path.join(filtered_dir, "documents.parquet")
         )
 

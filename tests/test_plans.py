@@ -89,6 +89,27 @@ def test_lsh_candidates_need_no_self_join(spark):
     assert "Window" in p
 
 
+def test_trainprep_gate_stage_is_join_free(spark):
+    """VERDICT r3 item 1: the composed trainprep job's gate stage
+    (scrub + quality + lang) must be ONE map-side projection of a
+    single documents scan — no Join nodes, no Exchange. The previous
+    form equi-joined the three registry DataFrames on doc_id, which
+    Catalyst does NOT collapse: three full-corpus shuffle joins at
+    100 TB where zero are needed."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import gate_stage
+
+    docs = spark.read.parquet(os.path.join(SF, "documents.parquet"))
+    df = gate_stage(docs, 0.4, ("en",))
+    p = plan_str(df)
+    assert "Join" not in p, p
+    assert "Exchange" not in p, p
+    assert p.count("Scan parquet") == 1, p
+    assert df.count() > 0
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Co-located join evidence for the 100 TB design: two tables
     bucketed (8 buckets) and sorted on the join key join WITHOUT any

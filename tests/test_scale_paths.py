@@ -58,6 +58,29 @@ def test_ann_lsh_degenerate_cluster_is_bounded(spark):
     assert pairs < 25_000 < n * (n - 1) // 2  # far from quadratic
 
 
+def test_embed_cosine_degenerate_label_is_bounded(spark, tmp_path):
+    """VERDICT r3 item 5: one label covering the whole corpus must NOT
+    go quadratic — dedup_embed_cosine sub-blocks each label at
+    EMBED_BLOCK_CAP by deterministic vec_id rank, so pair count is
+    sum-of-C(block,2), far below C(n,2)."""
+    from hocr_de_noising_spark.queries.trainprep import EMBED_BLOCK_CAP
+
+    n = 600
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.lit(0).alias("label"),
+        F.expr(
+            "transform(sequence(1, 8), i -> cast(i AS float))"
+        ).alias("embedding"),
+    )
+    e.write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    pairs = QUERIES["dedup_embed_cosine"]["fn"](spark, str(tmp_path)).count()
+    blocks = [EMBED_BLOCK_CAP] * (n // EMBED_BLOCK_CAP) + [n % EMBED_BLOCK_CAP]
+    expect = sum(b * (b - 1) // 2 for b in blocks if b)
+    assert pairs == expect
+    assert pairs < n * (n - 1) // 2 / 2  # far from quadratic
+
+
 def test_ann_lsh_recall_on_planted_near_dups(spark):
     """A planted near-identical pair must surface as a candidate in at
     least one of the L tables (multi-table recall)."""

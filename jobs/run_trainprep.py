@@ -20,6 +20,16 @@ expensive multi-join stage and should only ever see surviving docs).
 Outputs under --output: filtered/ (scrubbed+gated documents.parquet),
 dedup/ (the dedup job's stage outputs), corpus/ (final rows:
 doc_id, text, lang, split — one row per kept doc).
+
+Media (VERDICT r3 item 4): when the input dir carries a
+``media.parquet`` table (media_ref, media_type, content binary) and
+documents carry a ``media_refs array<string>`` column, the job also
+runs a media stage — fake-codec decode → sha256 fingerprint → exact
+media dedup (min media_ref per digest is canonical) — writes
+media/meta (kept items' metadata) + media/ref_map (every ref →
+canonical), and the final corpus carries each doc's ``media_refs``
+REMAPPED to canonical refs, order preserved. Binary payloads never
+flow through the text dedup joins; only refs and digests shuffle.
 """
 
 from __future__ import annotations
@@ -33,6 +43,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from hocr_de_noising_spark.operators.multimodal import decode_media  # noqa: E402
 from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
     lang_exprs,
     quality_exprs,
@@ -52,6 +63,7 @@ def gate_stage(docs, min_quality: float, langs: tuple[str, ...]):
     Catalyst does not collapse self-equi-joins of the same table).
     Output is the documents.parquet layout the dedup job consumes."""
     ex = {**scrub_exprs(), **quality_exprs(), **lang_exprs()}
+    media_cols = ["media_refs"] if "media_refs" in docs.columns else []
     return (
         docs.filter(F.col("text").isNotNull() & (F.length("text") > 0))
         .select(
@@ -60,6 +72,7 @@ def gate_stage(docs, min_quality: float, langs: tuple[str, ...]):
             ex["scrubbed"].alias("text"),
             ex["quality"].alias("quality"),
             ex["pred_lang"].alias("lang"),
+            *media_cols,
         )
         .filter(
             (F.col("quality") >= min_quality) & F.col("lang").isin(list(langs))
@@ -70,7 +83,86 @@ def gate_stage(docs, min_quality: float, langs: tuple[str, ...]):
             "lang",
             "source",
             F.length("text").cast("int").alias("n_chars"),
+            *media_cols,
         )
+    )
+
+
+def media_stage(spark, media, media_out_dir: str) -> dict:
+    """Exact media dedup over opaque binary content: fake-codec decode
+    (``operators/multimodal.decode_media`` — the Arrow-batched stage a
+    real codec would replace) → sha256 digest → canonical ref = min
+    media_ref per digest. Writes
+
+      media_out_dir/meta     kept items' metadata (one row per unique
+                             digest; undecodable items kept as-is)
+      media_out_dir/ref_map  (media_ref, canonical_ref) for EVERY input
+                             ref — the join key for remapping documents
+
+    Binary payloads stay in the decode mapInPandas stage; only refs +
+    digests (tiny) reach the dedup shuffle, so the stage holds at media
+    volumes where content is TBs. Returns counts."""
+    decoded = decode_media(media)
+    canon = (
+        decoded.filter("decode_ok")
+        .groupBy("sha256")
+        .agg(F.min("media_ref").alias("canonical_ref"))
+    )
+    ref_map = (
+        decoded.filter("decode_ok")
+        .select("media_ref", "sha256")
+        .join(canon, "sha256")
+        .select("media_ref", "canonical_ref")
+        # undecodable media cannot be fingerprinted — map to itself
+        .unionByName(
+            decoded.filter(~F.col("decode_ok")).select(
+                "media_ref", F.col("media_ref").alias("canonical_ref")
+            )
+        )
+    )
+    ref_map.write.mode("overwrite").parquet(os.path.join(media_out_dir, "ref_map"))
+    ref_map = spark.read.parquet(os.path.join(media_out_dir, "ref_map"))
+    meta = decoded.join(
+        ref_map.filter(F.col("media_ref") == F.col("canonical_ref")).select("media_ref"),
+        "media_ref",
+    )
+    meta.write.mode("overwrite").parquet(os.path.join(media_out_dir, "meta"))
+    n_in = media.count()
+    n_kept = spark.read.parquet(os.path.join(media_out_dir, "meta")).count()
+    return {"media_in": n_in, "media_kept": n_kept, "media_dups": n_in - n_kept}
+
+
+def remap_media_refs(docs, ref_map):
+    """Rewrite each doc's ``media_refs`` array to canonical refs, order
+    preserved: posexplode → equi join on media_ref → re-collect by
+    position. Docs with no media pass through unchanged (null/empty
+    arrays preserved). The ref map is joined, not broadcast — at
+    10^12-doc scale the media dimension is itself huge."""
+    with_media = docs.filter(F.size("media_refs") > 0)
+    no_media = docs.filter(
+        F.col("media_refs").isNull() | (F.size("media_refs") <= 0)
+    )
+    ex = with_media.select(
+        "doc_id", F.posexplode("media_refs").alias("pos", "media_ref")
+    )
+    remapped = (
+        ex.join(ref_map, "media_ref", "left")
+        .select(
+            "doc_id",
+            "pos",
+            F.coalesce("canonical_ref", "media_ref").alias("ref"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, ref))), x -> x.ref)"
+            ).alias("media_refs")
+        )
+    )
+    return (
+        with_media.drop("media_refs")
+        .join(remapped, "doc_id", "left")
+        .unionByName(no_media)
     )
 
 
@@ -115,13 +207,35 @@ def run_trainprep_job(
     )
     stage_secs["dedup"] = round(time.time() - t0, 3)
 
+    # media stage: runs iff the input carries media.parquet AND docs
+    # carry media_refs (both shapes optional — text-only corpora skip)
+    media_path = os.path.join(sf_dir, "media.parquet")
+    has_media = os.path.exists(media_path) and "media_refs" in docs.columns
+    media_summary: dict = {}
+    if has_media:
+        media_summary = timed(
+            "media_dedup",
+            lambda: media_stage(
+                spark,
+                spark.read.parquet(media_path),
+                os.path.join(out_dir, "media"),
+            ),
+        )
+
     def write_corpus():
         keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
-        final = keepers.join(
-            spark.read.parquet(os.path.join(filtered_dir, "documents.parquet")),
-            "doc_id",
-        ).select("doc_id", "text", "lang", "split")
-        final.write.mode("overwrite").parquet(os.path.join(out_dir, "corpus"))
+        filtered = spark.read.parquet(
+            os.path.join(filtered_dir, "documents.parquet")
+        )
+        cols = ["doc_id", "text", "lang", "split"]
+        final = keepers.join(filtered, "doc_id")
+        if has_media:
+            ref_map = spark.read.parquet(os.path.join(out_dir, "media", "ref_map"))
+            final = remap_media_refs(final, ref_map)
+            cols.append("media_refs")
+        final.select(*cols).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "corpus")
+        )
 
     timed("final_corpus", write_corpus)
     n_final = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
@@ -133,6 +247,7 @@ def run_trainprep_job(
         "gated_out": n_in - n_filtered,
         "dedup_removed": n_filtered - n_final,
         "dedup": dedup_summary,
+        **media_summary,
         "stage_secs": stage_secs,
     }
 

@@ -36,36 +36,59 @@ from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
     sample_split,
 )
 from hocr_de_noising_spark.session import get_spark  # noqa: E402
+from hocr_de_noising_spark.stage_manifest import (  # noqa: E402
+    StageManifest,
+    StageRunner,
+    params_hash,
+)
 
 
 def run_dedup_job(
-    spark, sf_dir: str, out_dir: str, jaccard_threshold: float = 0.2
+    spark,
+    sf_dir: str,
+    out_dir: str,
+    jaccard_threshold: float = 0.2,
+    manifest_dir: str | None = None,
+    run_id: str = "run-0",
+    fail_after_stage: str | None = None,
 ) -> dict:
     """Compose the dedup stages; returns summary counts + per-stage
-    wall seconds (``stage_secs``)."""
-    import time
+    wall seconds (``stage_secs``).
 
-    stage_secs: dict[str, float] = {}
+    With ``manifest_dir`` the job is resumable at STAGE granularity
+    (VERDICT r3 item 8): each stage's parquet output is committed to a
+    ``StageManifest`` row, and a restarted run with the same run_id +
+    parameters skips committed stages (their outputs are re-read from
+    disk by the stages that follow). ``fail_after_stage`` injects a
+    crash for the resume tests."""
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        stage_secs[name] = round(time.time() - t0, 3)
-        return out
+    def n(rel: str) -> int:
+        # metadata-cheap parquet row count of a WRITTEN stage output
+        return spark.read.parquet(os.path.join(out_dir, rel)).count()
 
-    timed(
+    sr = StageRunner(
+        StageManifest(manifest_dir) if manifest_dir else None,
+        run_id,
+        "dedup",
+        params_hash(input=sf_dir, jaccard_threshold=jaccard_threshold),
+        fail_after_stage,
+    )
+
+    sr.run(
         "exact",
         lambda: dedup_exact(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "exact_groups")),
+        lambda: n("exact_groups"),
     )
-    timed(
+    sr.run(
         "lsh_candidates",
         lambda: dedup_minhash_lsh(spark, sf_dir)
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "candidate_pairs")),
+        lambda: n("candidate_pairs"),
     )
-    timed(
+    sr.run(
         "jaccard_verify",
         lambda: jaccard_for_pairs(
             spark,
@@ -75,14 +98,16 @@ def run_dedup_job(
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "verified_pairs")),
+        lambda: n("verified_pairs"),
     )
-    timed(
+    sr.run(
         "components",
         lambda: connected_components(
             spark.read.parquet(os.path.join(out_dir, "verified_pairs"))
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "components")),
+        lambda: n("components"),
     )
 
     # keepers: every doc keeps its cluster representative's identity;
@@ -107,20 +132,19 @@ def run_dedup_job(
         )
         keep.write.mode("overwrite").parquet(os.path.join(out_dir, "keepers"))
 
-    timed("keepers_split", write_keepers)
+    sr.run("keepers_split", write_keepers, lambda: n("keepers"))
 
     # summary counts come from the WRITTEN outputs (metadata-cheap
     # parquet row counts), never by recomputing a stage
-    def n(rel: str) -> int:
-        return spark.read.parquet(os.path.join(out_dir, rel)).count()
-
     return {
         "exact_groups": n("exact_groups"),
         "candidate_pairs": n("candidate_pairs"),
         "verified_pairs": n("verified_pairs"),
         "clustered_docs": n("components"),
         "keepers": n("keepers"),
-        "stage_secs": stage_secs,
+        "stage_secs": sr.stage_secs,
+        "stages_run": sr.stages_run,
+        "stages_skipped": sr.stages_skipped,
     }
 
 
@@ -130,10 +154,18 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--jaccard-threshold", type=float, default=0.2)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--manifest", default=None,
+                    help="stage-manifest dir (enables stage-granular resume)")
+    ap.add_argument("--run-id", default="run-0")
     args = ap.parse_args(argv)
     spark = get_spark("hocr-dedup-job", cores=args.cores)
     summary = run_dedup_job(
-        spark, args.input, args.output, jaccard_threshold=args.jaccard_threshold
+        spark,
+        args.input,
+        args.output,
+        jaccard_threshold=args.jaccard_threshold,
+        manifest_dir=args.manifest,
+        run_id=args.run_id,
     )
     print(" ".join(f"{k}={v}" for k, v in summary.items()))
     spark.stop()

@@ -51,6 +51,11 @@ from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
 )
 from hocr_de_noising_spark.queries.util import load  # noqa: E402
 from hocr_de_noising_spark.session import get_spark  # noqa: E402
+from hocr_de_noising_spark.stage_manifest import (  # noqa: E402
+    StageManifest,
+    StageRunner,
+    params_hash,
+)
 from jobs.run_dedup import run_dedup_job  # noqa: E402
 
 
@@ -173,19 +178,35 @@ def run_trainprep_job(
     min_quality: float = 0.5,
     langs: tuple[str, ...] = ("en",),
     jaccard_threshold: float = 0.2,
+    manifest_dir: str | None = None,
+    run_id: str = "run-0",
+    fail_after_stage: str | None = None,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
-    and per-stage wall seconds."""
-    stage_secs: dict[str, float] = {}
+    and per-stage wall seconds.
 
-    def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        stage_secs[name] = round(time.time() - t0, 3)
-        return out
-
+    With ``manifest_dir`` the job is resumable at STAGE granularity
+    (VERDICT r3 item 8): the gate/media/corpus stages commit rows to a
+    ``StageManifest``, the dedup sub-job commits its own five stages to
+    the SAME manifest under job='dedup', and a restart with the same
+    run_id + parameters skips everything already committed. All summary
+    counts come from the written outputs, so they are correct on
+    resumed runs too."""
     docs = load(spark, sf_dir, "documents")
     n_in = docs.count()
+
+    sr = StageRunner(
+        StageManifest(manifest_dir) if manifest_dir else None,
+        run_id,
+        "trainprep",
+        params_hash(
+            input=sf_dir,
+            min_quality=min_quality,
+            langs=tuple(langs),
+            jaccard_threshold=jaccard_threshold,
+        ),
+        fail_after_stage,
+    )
 
     # stages 1-3: ONE map-side projection over a single scan
     filtered_dir = os.path.join(out_dir, "filtered")
@@ -195,17 +216,28 @@ def run_trainprep_job(
             os.path.join(filtered_dir, "documents.parquet")
         )
 
-    timed("scrub_and_gates", write_filtered)
-    n_filtered = spark.read.parquet(
-        os.path.join(filtered_dir, "documents.parquet")
-    ).count()
+    def n_of(path: str) -> int:
+        return spark.read.parquet(path).count()
+
+    sr.run(
+        "scrub_and_gates",
+        write_filtered,
+        lambda: n_of(os.path.join(filtered_dir, "documents.parquet")),
+    )
+    n_filtered = n_of(os.path.join(filtered_dir, "documents.parquet"))
 
     dedup_dir = os.path.join(out_dir, "dedup")
     t0 = time.time()
     dedup_summary = run_dedup_job(
-        spark, filtered_dir, dedup_dir, jaccard_threshold=jaccard_threshold
+        spark,
+        filtered_dir,
+        dedup_dir,
+        jaccard_threshold=jaccard_threshold,
+        manifest_dir=manifest_dir,
+        run_id=run_id,
+        fail_after_stage=fail_after_stage,
     )
-    stage_secs["dedup"] = round(time.time() - t0, 3)
+    sr.stage_secs["dedup"] = round(time.time() - t0, 3)
 
     # media stage: runs iff the input carries media.parquet AND docs
     # carry media_refs (both shapes optional — text-only corpora skip)
@@ -213,14 +245,23 @@ def run_trainprep_job(
     has_media = os.path.exists(media_path) and "media_refs" in docs.columns
     media_summary: dict = {}
     if has_media:
-        media_summary = timed(
+        media_out = os.path.join(out_dir, "media")
+        sr.run(
             "media_dedup",
             lambda: media_stage(
-                spark,
-                spark.read.parquet(media_path),
-                os.path.join(out_dir, "media"),
+                spark, spark.read.parquet(media_path), media_out
             ),
+            lambda: n_of(os.path.join(media_out, "meta")),
         )
+        # counts from the WRITTEN outputs — correct whether the stage
+        # ran just now or was skipped on resume
+        m_in = n_of(os.path.join(media_out, "ref_map"))
+        m_kept = n_of(os.path.join(media_out, "meta"))
+        media_summary = {
+            "media_in": m_in,
+            "media_kept": m_kept,
+            "media_dups": m_in - m_kept,
+        }
 
     def write_corpus():
         keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
@@ -237,7 +278,9 @@ def run_trainprep_job(
             os.path.join(out_dir, "corpus")
         )
 
-    timed("final_corpus", write_corpus)
+    sr.run(
+        "final_corpus", write_corpus, lambda: n_of(os.path.join(out_dir, "corpus"))
+    )
     n_final = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
 
     return {
@@ -248,7 +291,9 @@ def run_trainprep_job(
         "dedup_removed": n_filtered - n_final,
         "dedup": dedup_summary,
         **media_summary,
-        "stage_secs": stage_secs,
+        "stage_secs": sr.stage_secs,
+        "stages_run": sr.stages_run,
+        "stages_skipped": sr.stages_skipped,
     }
 
 
@@ -260,6 +305,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--langs", nargs="+", default=["en"])
     ap.add_argument("--jaccard-threshold", type=float, default=0.2)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument("--manifest", default=None,
+                    help="stage-manifest dir (enables stage-granular resume)")
+    ap.add_argument("--run-id", default="run-0")
     args = ap.parse_args(argv)
     spark = get_spark("hocr-trainprep-job", cores=args.cores)
     summary = run_trainprep_job(
@@ -269,6 +317,8 @@ def main(argv: list[str] | None = None) -> None:
         min_quality=args.min_quality,
         langs=tuple(args.langs),
         jaccard_threshold=args.jaccard_threshold,
+        manifest_dir=args.manifest,
+        run_id=args.run_id,
     )
     print(summary)
     spark.stop()

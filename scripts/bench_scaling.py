@@ -111,6 +111,16 @@ def main() -> None:
             lo: results[lo].get("loadavg_external"),
             hi: results[hi].get("loadavg_external"),
         },
+        # wave parity (VERDICT r3 item 6): both legs must run an integer
+        # number of scan waves for the ratio to be rounding-free
+        "scan_waves": {
+            lo: results[lo].get("scan_waves"),
+            hi: results[hi].get("scan_waves"),
+        },
+        "scan_partitions": {
+            lo: results[lo].get("scan_partitions"),
+            hi: results[hi].get("scan_partitions"),
+        },
     }
     print(json.dumps(summary))
 
@@ -126,6 +136,7 @@ def main() -> None:
         f"| per-variant efficiency | | | {per_variant} |",
         f"| headline relational queries total (s, sf0.1) | {round(qtot8, 2)} | {round(qtot32, 2)} | |",
         f"| external loadavg after best leg | {results[lo].get('loadavg_external')} | {results[hi].get('loadavg_external')} | |",
+        f"| scan waves (partitions) | {results[lo].get('scan_waves')} ({results[lo].get('scan_partitions')}) | {results[hi].get('scan_waves')} ({results[hi].get('scan_partitions')}) | |",
         "",
         "Per-query seconds:",
         "",

@@ -684,6 +684,110 @@ def token_count(spark, sf):
     )
 
 
+_REPETITION_SQL = """
+SELECT doc_id,
+       len(t) AS n_words,
+       round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 4)
+           AS dup_word_frac,
+       CASE WHEN len(t) >= 3
+            THEN round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                             / (len(t) - 2), 4)
+            ELSE 0.0 END AS dup_3gram_frac
+FROM (SELECT doc_id, t,
+             list_transform(generate_series(1, len(t) - 2),
+                            i -> concat_ws(' ', t[i], t[i+1], t[i+2])) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+            WHERE text IS NOT NULL AND length(text) > 0))
+"""
+
+
+@register("quality_repetition", _REPETITION_SQL)
+def quality_repetition(spark, sf):
+    """Intra-document repetition metrics (the Gopher-rule shape for
+    filtering degenerate/boilerplate docs from a training corpus —
+    Rae et al. 2021, public): duplicate-word fraction and duplicate
+    word-3-gram fraction. Pure JVM array HOFs over one scan — zero
+    shuffle, map-side only; short docs (<3 words) get 0.0 by guard
+    (Spark's sequence(1, n) is DESCENDING for n<1, so the 3-gram
+    branch must not evaluate for them)."""
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    dup_word = F.round(
+        F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n, 4
+    )
+    dup3 = F.expr(
+        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
+        "round(1.0D - cast(size(array_distinct(transform("
+        "sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS double)"
+        " / cast(size(split(text, ' ')) - 2 AS double), 4) "
+        "ELSE 0.0D END"
+    )
+    return (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select(
+            "doc_id",
+            n.alias("n_words"),
+            dup_word.alias("dup_word_frac"),
+            dup3.alias("dup_3gram_frac"),
+        )
+    )
+
+
+_DECON_SQL = f"""
+WITH sh0 AS (
+    SELECT DISTINCT doc_id,
+           concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS shingle
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5))
+),
+sh AS (
+    SELECT doc_id, shingle FROM (
+        SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
+        FROM sh0) WHERE df <= {JACCARD_DF_CAP}
+),
+sp AS (
+    SELECT doc_id, shingle,
+           CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                ELSE 'test' END AS split
+    FROM sh
+),
+train AS (SELECT DISTINCT shingle FROM sp WHERE split = 'train')
+SELECT e.doc_id, e.split, count(DISTINCT e.shingle) AS n_shared
+FROM sp e JOIN train t ON e.shingle = t.shingle
+WHERE e.split <> 'train'
+GROUP BY e.doc_id, e.split
+"""
+
+
+@register("decontaminate_overlap", _DECON_SQL)
+def decontaminate_overlap(spark, sf):
+    """Train/eval decontamination: flag val/test docs (sample_split's
+    own md5-nibble rule) that share at least one 5-gram shingle with
+    the train split, with the count of shared shingles — the standard
+    n-gram-overlap benchmark-leakage check run before training. Scale
+    shape: shingles are df-capped (JACCARD_DF_CAP) BEFORE the join, so
+    the per-shingle fan-out is bounded and no stop-phrase can explode
+    the equi join; the train side is a distinct shingle set (joined,
+    not broadcast — it scales with the corpus)."""
+    sh = capped_shingles(spark, sf, 5)
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    sp = sh.withColumn(
+        "split",
+        F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test"),
+    )
+    train = sp.filter("split = 'train'").select("shingle").distinct()
+    return (
+        sp.filter("split <> 'train'")
+        .join(train, "shingle")
+        .groupBy("doc_id", "split")
+        .agg(F.count_distinct("shingle").alias("n_shared"))
+    )
+
+
 _FPRINT_SQL = """
 WITH sh AS (
     SELECT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS shingle

@@ -1,0 +1,183 @@
+"""Scale-OUT evidence: 1 executor vs 4 executors of the SAME size.
+
+The north rule's two-cluster-size criterion means MORE executors, not
+bigger ones. `bench_scaling.py`'s local[4] vs local[16] comparison
+conflates cluster scale-out with single-JVM scale-up — one JVM's
+shared heap/GC and memory bus lose ~20% going 4→16 threads (measured:
+two wave-parity pinned sessions at 0.795/0.801), which a real cluster
+of fixed-size executors does not pay. This script models the cluster
+faithfully on one box:
+
+  leg A:  1 × (4-core taskset-pinned JVM) processes the FULL corpus
+  leg B:  4 × (4-core taskset-pinned JVMs, disjoint core sets) process
+          disjoint corpus quarters CONCURRENTLY; wall = max of the 4
+
+  scale-out efficiency = T_A / (4 × T_B)
+
+Each quarter carries its share of the skew plants (giants split
+round-robin) so leg B inherits the same pathology per executor. The 4
+JVMs share only the physical memory bus — exactly what 4 co-located
+executors on one cluster node share.
+
+Appends results to BENCH/BASELINE.md and prints one JSON line.
+
+Usage: python scripts/bench_scaleout.py [--execs 4] [--cores 4] [--reps 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+CACHE = os.path.join(REPO, "tests", "fixtures", "cache")
+
+# the per-executor worker: runs fused denoise on one input dir with a
+# wave-parity split size, prints one float (seconds)
+_WORKER = r"""
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from hocr_de_noising_spark.session import get_spark
+from hocr_de_noising_spark.operators.pipeline import denoise_fused
+from bench import calibrate_mpb
+docs_path, lex_path, cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
+spark = get_spark("scaleout-%d" % os.getpid(), cores=cores,
+                  shuffle_partitions=cores * 2,
+                  extra_conf={{"spark.sql.files.openCostInBytes": "512k"}})
+spark.sparkContext.setLogLevel("ERROR")
+lex = spark.read.parquet(lex_path)
+lex_tokens = [r.token for r in lex.select("token").collect()]
+calibrate_mpb(spark, docs_path, cores, waves=2)
+docs = spark.read.parquet(docs_path)
+warm = docs.limit(max(cores * 200, 2000)).repartition(cores)
+denoise_fused(warm, lex_tokens).write.format("noop").mode("overwrite").save()
+docs.count()
+t0 = time.time()
+denoise_fused(docs, lex_tokens).write.format("noop").mode("overwrite").save()
+print("WORKER_SEC %.3f" % (time.time() - t0), flush=True)
+spark.stop()
+"""
+
+
+def quarter_corpus(bench_dir: str, n: int) -> list[str]:
+    """Split the bench docs into n disjoint part dirs (cached): normal
+    rows sliced contiguously, giants dealt round-robin."""
+    import pyarrow.parquet as pq
+
+    out = os.path.join(CACHE, f"bench_split{n}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return [os.path.join(out, f"q{i}") for i in range(n)]
+    giants = pq.read_table(os.path.join(bench_dir, "docs.parquet", "part-giants.parquet"))
+    normal = pq.read_table(os.path.join(bench_dir, "docs.parquet", "part-normal.parquet"))
+    per = normal.num_rows // n
+    for i in range(n):
+        qd = os.path.join(out, f"q{i}", "docs.parquet")
+        os.makedirs(qd, exist_ok=True)
+        lo = i * per
+        hi = normal.num_rows if i == n - 1 else (i + 1) * per
+        pq.write_table(normal.slice(lo, hi - lo), os.path.join(qd, "part-normal.parquet"),
+                       row_group_size=500)
+        g = giants.slice(i % giants.num_rows, 1) if i < giants.num_rows else None
+        if g is not None and i < giants.num_rows:
+            pq.write_table(g, os.path.join(qd, "part-giants.parquet"), row_group_size=1)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return [os.path.join(out, f"q{i}") for i in range(n)]
+
+
+def run_worker(docs_path: str, lex_path: str, cores: int, core_set: str) -> subprocess.Popen:
+    cmd = [
+        "taskset", "-c", core_set, sys.executable, "-c",
+        _WORKER.format(repo=REPO), docs_path, lex_path, str(cores),
+    ]
+    return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+
+
+def wall_of(procs: list[subprocess.Popen]) -> float:
+    t0 = time.time()
+    for p in procs:
+        out, _ = p.communicate(timeout=1800)
+        assert p.returncode == 0 and "WORKER_SEC" in out, out[-2000:]
+    return time.time() - t0
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--execs", type=int, default=4)
+    ap.add_argument("--cores", type=int, default=4, help="cores per executor")
+    ap.add_argument("--reps", type=int, default=2, help="interleaved reps (best kept)")
+    args = ap.parse_args()
+
+    from hocr_de_noising_spark.fixtures.spans import SIZES, write_corpus
+
+    bench_dir = write_corpus(CACHE, "bench")
+    lex_path = os.path.join(bench_dir, "lexicon.parquet")
+    full = os.path.join(bench_dir, "docs.parquet")
+    quarters = quarter_corpus(bench_dir, args.execs)
+    n_docs = SIZES["bench"]
+
+    best = {"one": None, "many": None}
+    for _ in range(args.reps):
+        # leg A: one executor, full corpus (its wall includes warmup-free
+        # timed section only — the worker prints its own timed seconds,
+        # but wall-clock across the process is what a cluster sees; we
+        # use the worker's own timed section for both legs, so JVM
+        # startup/warmup cancels)
+        p = run_worker(full, lex_path, args.cores, f"0-{args.cores - 1}")
+        out, _ = p.communicate(timeout=1800)
+        assert p.returncode == 0, out[-2000:]
+        t_one = float(out.strip().split()[-1])
+        best["one"] = t_one if best["one"] is None else min(best["one"], t_one)
+
+        # leg B: execs concurrent executors on disjoint cores + quarters;
+        # cluster wall = max of the executors' timed sections
+        procs, secs = [], []
+        for i, q in enumerate(quarters):
+            cs = f"{i * args.cores}-{(i + 1) * args.cores - 1}"
+            procs.append(run_worker(os.path.join(q, "docs.parquet"), lex_path, args.cores, cs))
+        for p in procs:
+            out, _ = p.communicate(timeout=1800)
+            assert p.returncode == 0 and "WORKER_SEC" in out, out[-2000:]
+            secs.append(float(out.strip().split()[-1]))
+        t_many = max(secs)
+        best["many"] = t_many if best["many"] is None else min(best["many"], t_many)
+
+    eff = best["one"] / (args.execs * best["many"])
+    with open("/proc/loadavg") as f:
+        load = f.read().split()[0]
+    res = {
+        "metric": "scale-out efficiency (1 vs N fixed-size executors)",
+        "execs": args.execs,
+        "cores_per_exec": args.cores,
+        "reps": args.reps,
+        "sec_one_exec_full": round(best["one"], 3),
+        "sec_N_execs_max_quarter": round(best["many"], 3),
+        "docs_per_sec_one": round(n_docs / best["one"], 1),
+        "docs_per_sec_N": round(n_docs / best["many"], 1),
+        "scaleout_efficiency": round(eff, 3),
+        "loadavg_after": load,
+    }
+    print(json.dumps(res))
+    stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        f.write(
+            f"\n- {stamp} scale-OUT (1 vs {args.execs} x local[{args.cores}] "
+            f"pinned JVMs, disjoint corpus quarters, best of {args.reps}): "
+            f"1-exec {res['sec_one_exec_full']} s vs {args.execs}-exec wall "
+            f"{res['sec_N_execs_max_quarter']} s -> efficiency "
+            f"**{res['scaleout_efficiency']}** "
+            f"({res['docs_per_sec_one']} -> {res['docs_per_sec_N']} docs/s); "
+            f"loadavg after {load}\n"
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -89,6 +89,18 @@ def test_lsh_candidates_need_no_self_join(spark):
     assert "Window" in p
 
 
+def test_new_llm_keys_plan_shape(spark):
+    """quality_repetition is a pure map-side projection (zero exchange,
+    zero join); decontaminate_overlap has exactly one equi join (eval
+    shingles x distinct train shingles) and no cartesian product."""
+    rep = QUERIES["quality_repetition"]["fn"](spark, SF)
+    p = plan_str(rep)
+    assert "Exchange" not in p and "Join" not in p, p
+    dec = QUERIES["decontaminate_overlap"]["fn"](spark, SF)
+    p2 = plan_str(dec)
+    assert p2.count("Join") == 1 and "CartesianProduct" not in p2, p2
+
+
 def test_trainprep_gate_stage_is_join_free(spark):
     """VERDICT r3 item 1: the composed trainprep job's gate stage
     (scrub + quality + lang) must be ONE map-side projection of a

@@ -59,6 +59,8 @@ HEADLINE = [
     "dedup_simhash",
     "knn_bruteforce",
     "stream_session",
+    "quality_repetition",
+    "decontaminate_overlap",
 ]
 # ingest corpus: realistic Tesseract-scale pages (~300 words / ~26 KB)
 HOCR_DOCS = 8_000

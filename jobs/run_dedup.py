@@ -51,6 +51,7 @@ def run_dedup_job(
     manifest_dir: str | None = None,
     run_id: str = "run-0",
     fail_after_stage: str | None = None,
+    components_algorithm: str = "propagate",
 ) -> dict:
     """Compose the dedup stages; returns summary counts + per-stage
     wall seconds (``stage_secs``).
@@ -100,10 +101,14 @@ def run_dedup_job(
         .parquet(os.path.join(out_dir, "verified_pairs")),
         lambda: n("verified_pairs"),
     )
+    # components algorithm: 'propagate' (O(diameter) rounds — a
+    # handful for star-shaped LSH graphs) or 'star' (O(log n) rounds
+    # at ANY diameter — the deep-chain / 10^12-doc path)
     sr.run(
         "components",
         lambda: connected_components(
-            spark.read.parquet(os.path.join(out_dir, "verified_pairs"))
+            spark.read.parquet(os.path.join(out_dir, "verified_pairs")),
+            algorithm=components_algorithm,
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "components")),
@@ -157,6 +162,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--manifest", default=None,
                     help="stage-manifest dir (enables stage-granular resume)")
     ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--components-algorithm", default="propagate",
+                    choices=("propagate", "star"),
+                    help="star = O(log n) rounds at any graph diameter")
     args = ap.parse_args(argv)
     spark = get_spark("hocr-dedup-job", cores=args.cores)
     summary = run_dedup_job(
@@ -166,6 +174,7 @@ def main(argv: list[str] | None = None) -> None:
         jaccard_threshold=args.jaccard_threshold,
         manifest_dir=args.manifest,
         run_id=args.run_id,
+        components_algorithm=args.components_algorithm,
     )
     print(" ".join(f"{k}={v}" for k, v in summary.items()))
     spark.stop()

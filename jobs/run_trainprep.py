@@ -45,6 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hocr_de_noising_spark.operators.multimodal import decode_media  # noqa: E402
 from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
+    decontaminate_overlap,
     lang_exprs,
     quality_exprs,
     scrub_exprs,
@@ -181,6 +182,7 @@ def run_trainprep_job(
     manifest_dir: str | None = None,
     run_id: str = "run-0",
     fail_after_stage: str | None = None,
+    decontaminate: bool = False,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -239,6 +241,31 @@ def run_trainprep_job(
     )
     sr.stage_secs["dedup"] = round(time.time() - t0, 3)
 
+    # optional decontamination report (VERDICT r3's LLM-pipeline
+    # completeness direction): among the SURVIVING docs, flag val/test
+    # docs that still share a 5-gram shingle with the train split —
+    # partial overlap below the dedup threshold is exactly the
+    # benchmark-leakage dedup cannot catch. Report-only by design:
+    # whether to drop or re-split contaminated eval docs is a modeling
+    # decision, so the job surfaces the list + count and leaves the
+    # corpus intact.
+    decon_summary: dict = {}
+    if decontaminate:
+
+        def write_decon():
+            keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
+            rep = decontaminate_overlap(spark, filtered_dir).join(
+                keepers.select("doc_id"), "doc_id"
+            )
+            rep.write.mode("overwrite").parquet(os.path.join(out_dir, "decon"))
+
+        sr.run(
+            "decontaminate",
+            write_decon,
+            lambda: n_of(os.path.join(out_dir, "decon")),
+        )
+        decon_summary = {"n_contaminated": n_of(os.path.join(out_dir, "decon"))}
+
     # media stage: runs iff the input carries media.parquet AND docs
     # carry media_refs (both shapes optional — text-only corpora skip)
     media_path = os.path.join(sf_dir, "media.parquet")
@@ -290,6 +317,7 @@ def run_trainprep_job(
         "gated_out": n_in - n_filtered,
         "dedup_removed": n_filtered - n_final,
         "dedup": dedup_summary,
+        **decon_summary,
         **media_summary,
         "stage_secs": sr.stage_secs,
         "stages_run": sr.stages_run,
@@ -308,6 +336,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--manifest", default=None,
                     help="stage-manifest dir (enables stage-granular resume)")
     ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--decontaminate", action="store_true",
+                    help="write decon/ report of surviving val/test docs "
+                         "sharing 5-gram shingles with the train split")
     args = ap.parse_args(argv)
     spark = get_spark("hocr-trainprep-job", cores=args.cores)
     summary = run_trainprep_job(
@@ -319,6 +350,7 @@ def main(argv: list[str] | None = None) -> None:
         jaccard_threshold=args.jaccard_threshold,
         manifest_dir=args.manifest,
         run_id=args.run_id,
+        decontaminate=args.decontaminate,
     )
     print(summary)
     spark.stop()

@@ -216,6 +216,52 @@ def test_trainprep_job_end_to_end(spark, tmp_path):
     assert corpus.filter(F.col("text").rlike("[0-9]")).count() == 0
 
 
+def test_dedup_job_star_components_identical(spark, tmp_path):
+    """components_algorithm='star' (O(log n) rounds) must produce a
+    bit-identical components table to the default propagate loop."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_dedup import run_dedup_job
+
+    a = str(tmp_path / "prop")
+    b = str(tmp_path / "star")
+    run_dedup_job(spark, SF_DIR, a, jaccard_threshold=0.05)
+    run_dedup_job(
+        spark, SF_DIR, b, jaccard_threshold=0.05, components_algorithm="star"
+    )
+    ca = spark.read.parquet(os.path.join(a, "components"))
+    cb = spark.read.parquet(os.path.join(b, "components"))
+    assert ca.exceptAll(cb).isEmpty() and cb.exceptAll(ca).isEmpty()
+    assert ca.count() > 0
+
+
+def test_trainprep_decontaminate_stage(spark, tmp_path):
+    """--decontaminate writes a report of SURVIVING val/test docs that
+    share a 5-gram shingle with the train split; every reported doc
+    must be a keeper outside the train split, and the corpus itself is
+    left intact (report-only)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    out = str(tmp_path / "prep")
+    s = run_trainprep_job(
+        spark, SF_DIR, out, min_quality=0.4, langs=("en",),
+        jaccard_threshold=0.05, decontaminate=True,
+    )
+    assert "n_contaminated" in s
+    rep = spark.read.parquet(os.path.join(out, "decon"))
+    assert rep.count() == s["n_contaminated"]
+    assert set(rep.columns) == {"doc_id", "split", "n_shared"}
+    keepers = spark.read.parquet(os.path.join(out, "dedup", "keepers"))
+    assert rep.filter("split = 'train'").count() == 0
+    assert rep.join(keepers, "doc_id", "left_anti").count() == 0
+    # corpus untouched by the report
+    assert s["n_final"] == spark.read.parquet(os.path.join(out, "corpus")).count()
+
+
 def test_stage_manifest_unit(tmp_path):
     """Atomic commits, lineage scoping: different run_id, job or params
     hash must not leak completions across runs."""

@@ -29,7 +29,14 @@ def observation_metrics(o: Observation, timeout_s: float = 10.0) -> dict | None:
     under Spark Connect ``Observation.__new__`` returns a
     ConnectObservation with no ``_jo`` (ADVICE r3), so that path falls
     back to ``Observation.get`` on a daemon thread with the same
-    deadline — still never blocking the caller indefinitely.
+    deadline — still never blocking the caller indefinitely. Known
+    trade (r4 review): Python threads cannot be cancelled, so a
+    never-reporting Connect observation leaves its daemon thread
+    parked in ``o.get`` for the process lifetime — one small leaked
+    thread per TIMED-OUT read, only on Connect, only when the node
+    never reports (callers invoke this after the action finished, so
+    the ordinary path returns within milliseconds). The pinned classic
+    session never takes this branch.
     """
     from pyspark.serializers import CPickleSerializer
 

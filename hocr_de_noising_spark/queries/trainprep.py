@@ -763,17 +763,15 @@ GROUP BY e.doc_id, e.split
 """
 
 
-@register("decontaminate_overlap", _DECON_SQL)
-def decontaminate_overlap(spark, sf):
-    """Train/eval decontamination: flag val/test docs (sample_split's
-    own md5-nibble rule) that share at least one 5-gram shingle with
-    the train split, with the count of shared shingles — the standard
-    n-gram-overlap benchmark-leakage check run before training. Scale
-    shape: shingles are df-capped (JACCARD_DF_CAP) BEFORE the join, so
-    the per-shingle fan-out is bounded and no stop-phrase can explode
-    the equi join; the train side is a distinct shingle set (joined,
-    not broadcast — it scales with the corpus)."""
+def decon_overlap(spark, sf, keep=None):
+    """Core of the decontamination check; ``keep`` optionally restricts
+    BOTH sides to a surviving-doc set (a (doc_id) DataFrame) — the
+    composed job passes the dedup keepers so that neither a removed
+    train doc can raise a false leakage flag nor a removed eval doc
+    clutter the report (r4 review)."""
     sh = capped_shingles(spark, sf, 5)
+    if keep is not None:
+        sh = sh.join(keep.select("doc_id"), "doc_id")
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     sp = sh.withColumn(
         "split",
@@ -786,6 +784,19 @@ def decontaminate_overlap(spark, sf):
         .groupBy("doc_id", "split")
         .agg(F.count_distinct("shingle").alias("n_shared"))
     )
+
+
+@register("decontaminate_overlap", _DECON_SQL)
+def decontaminate_overlap(spark, sf):
+    """Train/eval decontamination: flag val/test docs (sample_split's
+    own md5-nibble rule) that share at least one 5-gram shingle with
+    the train split, with the count of shared shingles — the standard
+    n-gram-overlap benchmark-leakage check run before training. Scale
+    shape: shingles are df-capped (JACCARD_DF_CAP) BEFORE the join, so
+    the per-shingle fan-out is bounded and no stop-phrase can explode
+    the equi join; the train side is a distinct shingle set (joined,
+    not broadcast — it scales with the corpus)."""
+    return decon_overlap(spark, sf)
 
 
 _FPRINT_SQL = """

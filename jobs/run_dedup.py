@@ -52,6 +52,7 @@ def run_dedup_job(
     run_id: str = "run-0",
     fail_after_stage: str | None = None,
     components_algorithm: str = "propagate",
+    upstream_hash: str = "",
 ) -> dict:
     """Compose the dedup stages; returns summary counts + per-stage
     wall seconds (``stage_secs``).
@@ -61,7 +62,16 @@ def run_dedup_job(
     ``StageManifest`` row, and a restarted run with the same run_id +
     parameters skips committed stages (their outputs are re-read from
     disk by the stages that follow). ``fail_after_stage`` injects a
-    crash for the resume tests."""
+    crash for the resume tests.
+
+    ``upstream_hash`` folds the params of whatever PRODUCED sf_dir into
+    this job's stage lineage (r4 review: when trainprep re-runs its
+    gates with different settings, the filtered dir PATH is unchanged —
+    without the upstream hash, a resumed dedup would silently reuse
+    keepers computed against the old corpus). ``out_dir`` is hashed for
+    the same reason: committed rows must not satisfy a run pointed at a
+    different output location. ``components_algorithm`` is NOT hashed —
+    both algorithms produce bit-identical components (tested)."""
 
     def n(rel: str) -> int:
         # metadata-cheap parquet row count of a WRITTEN stage output
@@ -71,7 +81,12 @@ def run_dedup_job(
         StageManifest(manifest_dir) if manifest_dir else None,
         run_id,
         "dedup",
-        params_hash(input=sf_dir, jaccard_threshold=jaccard_threshold),
+        params_hash(
+            input=sf_dir,
+            output=out_dir,
+            jaccard_threshold=jaccard_threshold,
+            upstream=upstream_hash,
+        ),
         fail_after_stage,
     )
 

@@ -45,7 +45,7 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from hocr_de_noising_spark.operators.multimodal import decode_media  # noqa: E402
 from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
-    decontaminate_overlap,
+    decon_overlap,
     lang_exprs,
     quality_exprs,
     scrub_exprs,
@@ -108,7 +108,15 @@ def media_stage(spark, media, media_out_dir: str) -> dict:
     Binary payloads stay in the decode mapInPandas stage; only refs +
     digests (tiny) reach the dedup shuffle, so the stage holds at media
     volumes where content is TBs. Returns counts."""
-    decoded = decode_media(media)
+    # materialize the decode ONCE: the mapInPandas pass scans every
+    # binary payload and hashes it — the dominant cost at TB media
+    # volumes — and the derivations below reference it from four plan
+    # branches Catalyst will NOT collapse (r4 review). The decoded
+    # metadata table is tiny (no binary column), so parquet it first
+    # and build canon/ref_map/meta from the written table.
+    decoded_path = os.path.join(media_out_dir, "decoded")
+    decode_media(media).write.mode("overwrite").parquet(decoded_path)
+    decoded = spark.read.parquet(decoded_path)
     canon = (
         decoded.filter("decode_ok")
         .groupBy("sha256")
@@ -133,7 +141,7 @@ def media_stage(spark, media, media_out_dir: str) -> dict:
         "media_ref",
     )
     meta.write.mode("overwrite").parquet(os.path.join(media_out_dir, "meta"))
-    n_in = media.count()
+    n_in = decoded.count()
     n_kept = spark.read.parquet(os.path.join(media_out_dir, "meta")).count()
     return {"media_in": n_in, "media_kept": n_kept, "media_dups": n_in - n_kept}
 
@@ -183,6 +191,7 @@ def run_trainprep_job(
     run_id: str = "run-0",
     fail_after_stage: str | None = None,
     decontaminate: bool = False,
+    components_algorithm: str = "propagate",
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -197,16 +206,18 @@ def run_trainprep_job(
     docs = load(spark, sf_dir, "documents")
     n_in = docs.count()
 
+    p_hash = params_hash(
+        input=sf_dir,
+        output=out_dir,
+        min_quality=min_quality,
+        langs=tuple(langs),
+        jaccard_threshold=jaccard_threshold,
+    )
     sr = StageRunner(
         StageManifest(manifest_dir) if manifest_dir else None,
         run_id,
         "trainprep",
-        params_hash(
-            input=sf_dir,
-            min_quality=min_quality,
-            langs=tuple(langs),
-            jaccard_threshold=jaccard_threshold,
-        ),
+        p_hash,
         fail_after_stage,
     )
 
@@ -238,6 +249,11 @@ def run_trainprep_job(
         manifest_dir=manifest_dir,
         run_id=run_id,
         fail_after_stage=fail_after_stage,
+        components_algorithm=components_algorithm,
+        # ties the dedup stages' lineage to THIS job's gate params: a
+        # rerun with different min_quality/langs rewrites filtered/ at
+        # the same path, and the dedup stages must re-run (r4 review)
+        upstream_hash=p_hash,
     )
     sr.stage_secs["dedup"] = round(time.time() - t0, 3)
 
@@ -253,10 +269,10 @@ def run_trainprep_job(
     if decontaminate:
 
         def write_decon():
+            # BOTH sides restricted to the surviving docs: a train doc
+            # dedup removed must not raise a false leakage flag
             keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
-            rep = decontaminate_overlap(spark, filtered_dir).join(
-                keepers.select("doc_id"), "doc_id"
-            )
+            rep = decon_overlap(spark, filtered_dir, keep=keepers)
             rep.write.mode("overwrite").parquet(os.path.join(out_dir, "decon"))
 
         sr.run(
@@ -339,6 +355,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--decontaminate", action="store_true",
                     help="write decon/ report of surviving val/test docs "
                          "sharing 5-gram shingles with the train split")
+    ap.add_argument("--components-algorithm", default="propagate",
+                    choices=("propagate", "star"),
+                    help="star = O(log n) rounds at any graph diameter")
     args = ap.parse_args(argv)
     spark = get_spark("hocr-trainprep-job", cores=args.cores)
     summary = run_trainprep_job(
@@ -351,6 +370,7 @@ def main(argv: list[str] | None = None) -> None:
         manifest_dir=args.manifest,
         run_id=args.run_id,
         decontaminate=args.decontaminate,
+        components_algorithm=args.components_algorithm,
     )
     print(summary)
     spark.stop()

@@ -32,7 +32,6 @@ import json
 import os
 import subprocess
 import sys
-import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -75,9 +74,18 @@ def quarter_corpus(bench_dir: str, n: int) -> list[str]:
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return [os.path.join(out, f"q{i}") for i in range(n)]
+    import pyarrow as pa
+
     giants = pq.read_table(os.path.join(bench_dir, "docs.parquet", "part-giants.parquet"))
     normal = pq.read_table(os.path.join(bench_dir, "docs.parquet", "part-normal.parquet"))
     per = normal.num_rows // n
+    # deal EVERY giant round-robin over the quarters — with n < number
+    # of giants a quarter gets several (r4 review: the earlier
+    # per-quarter loop silently dropped giant k for k >= n, deflating
+    # leg B's work and inflating the published efficiency)
+    giants_of = {i: [] for i in range(n)}
+    for k in range(giants.num_rows):
+        giants_of[k % n].append(k)
     for i in range(n):
         qd = os.path.join(out, f"q{i}", "docs.parquet")
         os.makedirs(qd, exist_ok=True)
@@ -85,8 +93,8 @@ def quarter_corpus(bench_dir: str, n: int) -> list[str]:
         hi = normal.num_rows if i == n - 1 else (i + 1) * per
         pq.write_table(normal.slice(lo, hi - lo), os.path.join(qd, "part-normal.parquet"),
                        row_group_size=500)
-        g = giants.slice(i % giants.num_rows, 1) if i < giants.num_rows else None
-        if g is not None and i < giants.num_rows:
+        if giants_of[i]:
+            g = pa.concat_tables([giants.slice(k, 1) for k in giants_of[i]])
             pq.write_table(g, os.path.join(qd, "part-giants.parquet"), row_group_size=1)
     with open(marker, "w") as f:
         f.write("ok")
@@ -99,14 +107,6 @@ def run_worker(docs_path: str, lex_path: str, cores: int, core_set: str) -> subp
         _WORKER.format(repo=REPO), docs_path, lex_path, str(cores),
     ]
     return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
-
-
-def wall_of(procs: list[subprocess.Popen]) -> float:
-    t0 = time.time()
-    for p in procs:
-        out, _ = p.communicate(timeout=1800)
-        assert p.returncode == 0 and "WORKER_SEC" in out, out[-2000:]
-    return time.time() - t0
 
 
 def main() -> None:

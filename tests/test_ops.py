@@ -262,6 +262,82 @@ def test_trainprep_decontaminate_stage(spark, tmp_path):
     assert s["n_final"] == spark.read.parquet(os.path.join(out, "corpus")).count()
 
 
+def test_trainprep_decon_ignores_dedup_removed_train_docs(spark, tmp_path):
+    """r4 review: a train doc that dedup REMOVED must not raise a false
+    leakage flag. Doc 0 (eval split by md5 nibble) is an exact dup of
+    doc 4 (train split); dedup keeps 0 and removes 4, so 0 must NOT be
+    reported. Doc 1 (eval) genuinely shares a 5-gram with surviving
+    train doc 6 and MUST be reported."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    shared = "the weavers repaired the enormous tapestry"
+    dup = (
+        "beneath the eaves the restless swallows assembled their nests "
+        "while the keeper swept the terrace every evening before the bells"
+    )
+    fill = [
+        "eleven green lanterns were lighted beside the eastern gate when "
+        "the evening ferry delivered the letters to the sleepy village",
+        "the engineers measured the riverbed then erected the temporary "
+        "bridge before the weather turned and the levels receded again",
+        "every merchant weighed the peppercorns twice because the ledger "
+        "demanded evidence of each measure entered beside the seal",
+    ]
+    rows = [
+        (0, dup),  # eval, exact dup of 4 -> kept, must NOT be flagged
+        (1, shared + " " + fill[0]),  # eval, overlaps train doc 6 -> flagged
+        (4, dup),  # train, removed by dedup
+        (6, shared + " " + fill[1]),  # train, survives
+        (7, fill[2]),  # train, no overlap
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.write.parquet(str(src / "documents.parquet"))
+    out = str(tmp_path / "prep")
+    run_trainprep_job(
+        spark, str(src), out, min_quality=0.2, langs=("en",),
+        jaccard_threshold=0.2, decontaminate=True,
+    )
+    keepers = {r.doc_id for r in spark.read.parquet(
+        os.path.join(out, "dedup", "keepers")).collect()}
+    assert 0 in keepers and 4 not in keepers
+    flagged = {r.doc_id for r in spark.read.parquet(
+        os.path.join(out, "decon")).collect()}
+    assert 1 in flagged
+    assert 0 not in flagged  # its only train overlap was removed by dedup
+
+
+def test_trainprep_resume_invalidated_by_gate_params(spark, tmp_path):
+    """r4 review: rerunning a manifested trainprep with DIFFERENT gate
+    params rewrites filtered/ at the same path — the dedup sub-job's
+    stages must re-run (its hash folds in the upstream gate hash), not
+    silently reuse keepers computed against the old corpus."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    out = str(tmp_path / "prep")
+    man = str(tmp_path / "man")
+    run_trainprep_job(
+        spark, SF_DIR, out, manifest_dir=man, run_id="rv",
+        min_quality=0.4, langs=("en",), jaccard_threshold=0.05,
+    )
+    s2 = run_trainprep_job(
+        spark, SF_DIR, out, manifest_dir=man, run_id="rv",
+        min_quality=0.3, langs=("en",), jaccard_threshold=0.05,
+    )
+    assert s2["stages_skipped"] == []  # gate hash changed -> all re-run
+    assert s2["dedup"]["stages_skipped"] == []  # upstream hash propagated
+
+
 def test_stage_manifest_unit(tmp_path):
     """Atomic commits, lineage scoping: different run_id, job or params
     hash must not leak completions across runs."""

@@ -768,7 +768,16 @@ def decon_overlap(spark, sf, keep=None):
     BOTH sides to a surviving-doc set (a (doc_id) DataFrame) — the
     composed job passes the dedup keepers so that neither a removed
     train doc can raise a false leakage flag nor a removed eval doc
-    clutter the report (r4 review)."""
+    clutter the report (r4 review).
+
+    Join-free shape (same trick as dedup_ngram_jaccard): a train-side
+    self-join would re-execute the whole shingle subtree (scan +
+    shingle shuffle) a second time — Catalyst does not share plan
+    subtrees. Instead ONE groupBy per shingle collects the eval docs
+    in-array (bounded by the df cap) plus a has-train flag, and the
+    per-shingle eval lists explode back out. One scan, and the
+    per-shingle groupBy reuses the df-cap window's hashpartitioning —
+    two exchanges total (plan-asserted)."""
     sh = capped_shingles(spark, sf, 5)
     if keep is not None:
         sh = sh.join(keep.select("doc_id"), "doc_id")
@@ -777,12 +786,27 @@ def decon_overlap(spark, sf, keep=None):
         "split",
         F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test"),
     )
-    train = sp.filter("split = 'train'").select("shingle").distinct()
+    per_shingle = (
+        sp.groupBy("shingle")
+        .agg(
+            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                "has_train"
+            ),
+            # collect_list drops nulls → evals holds only non-train docs;
+            # its length is bounded by the shingle df cap
+            F.collect_list(
+                F.when(
+                    F.col("split") != "train", F.struct("doc_id", "split")
+                )
+            ).alias("evals"),
+        )
+        .filter("has_train = 1")
+    )
     return (
-        sp.filter("split <> 'train'")
-        .join(train, "shingle")
+        per_shingle.select(F.explode("evals").alias("e"))
+        .select("e.doc_id", "e.split")
         .groupBy("doc_id", "split")
-        .agg(F.count_distinct("shingle").alias("n_shared"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
     )
 
 

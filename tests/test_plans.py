@@ -91,14 +91,18 @@ def test_lsh_candidates_need_no_self_join(spark):
 
 def test_new_llm_keys_plan_shape(spark):
     """quality_repetition is a pure map-side projection (zero exchange,
-    zero join); decontaminate_overlap has exactly one equi join (eval
-    shingles x distinct train shingles) and no cartesian product."""
+    zero join). decontaminate_overlap is JOIN-FREE (in-array eval lists
+    per shingle, dedup_ngram_jaccard's trick): ONE documents scan, and
+    the per-shingle groupBy reuses the df-cap window's partitioning —
+    two exchanges total (shingle, then the final doc_id/split agg)."""
     rep = QUERIES["quality_repetition"]["fn"](spark, SF)
     p = plan_str(rep)
     assert "Exchange" not in p and "Join" not in p, p
     dec = QUERIES["decontaminate_overlap"]["fn"](spark, SF)
     p2 = plan_str(dec)
-    assert p2.count("Join") == 1 and "CartesianProduct" not in p2, p2
+    assert "Join" not in p2, p2
+    assert p2.count("Scan parquet") == 1, p2
+    assert p2.count("Exchange") == 2, p2
 
 
 def test_trainprep_gate_stage_is_join_free(spark):

@@ -78,7 +78,7 @@ def calibrate_mpb(spark, path: str, cpus: int, waves: int = 2) -> tuple[int, int
     (getNumPartitions runs no job). Falls back to the nearest achieved
     count if file-packing granularity can't hit the target exactly."""
     target = waves * cpus
-    lo, hi = 1 << 20, 1 << 31
+    lo, hi = 1 << 16, 1 << 31
     best_mpb, best_n = None, None
     for _ in range(26):
         mid = (lo + hi) // 2

@@ -126,6 +126,26 @@ def test_trainprep_gate_stage_is_join_free(spark):
     assert df.count() > 0
 
 
+def test_calibrate_mpb_hits_exact_wave_parity(spark, correctness_dir):
+    """bench.calibrate_mpb must land the scan on EXACTLY waves*cores
+    partitions — the rounding-free wave count the r4 scaling evidence
+    relies on (uses the 5000-doc corpus: multi-file layout with the
+    giants part, like the bench corpus)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from bench import calibrate_mpb
+
+    docs_path = os.path.join(correctness_dir, "docs.parquet")
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        for cores in (2, 4):
+            _, n = calibrate_mpb(spark, docs_path, cores, waves=2)
+            assert n == 2 * cores, (cores, n)
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+
+
 def test_bucketed_tables_join_without_exchange(spark, tmp_path):
     """Co-located join evidence for the 100 TB design: two tables
     bucketed (8 buckets) and sorted on the join key join WITHOUT any

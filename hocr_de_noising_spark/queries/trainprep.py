@@ -1079,14 +1079,23 @@ def sample_split(spark, sf):
     )
 
 
-def jaccard_for_pairs(spark, sf, pairs, threshold: float = 0.2, n: int = 3):
+def jaccard_for_pairs(spark, sf, pairs, threshold: float = 0.2, n: int = 3,
+                      shingles=None):
     """Exact n-gram Jaccard for a GIVEN candidate-pair set (the
     verification stage behind MinHash LSH): intersections come from
     pairs ⋈ shingles(a) ⋈ shingles(b) equi joins, so the fan-out per
     pair is bounded by the docs' own shingle counts — never an
     all-pairs product. Shingles are df-capped like dedup_ngram_jaccard
-    so a stop-phrase cannot inflate the per-shingle join either."""
-    sh = capped_shingles(spark, sf, n)
+    so a stop-phrase cannot inflate the per-shingle join either.
+
+    The shingle relation is referenced FOUR times below (a side, b
+    side, and the two size joins) and Catalyst does not share plan
+    subtrees (r4 review: the plan showed 4 corpus scans + 4 df-cap
+    windows). Pass ``shingles`` (a materialized capped-shingle table —
+    run_dedup_job writes one as its own resumable stage) to compute
+    the subtree once; standalone callers fall back to an eager
+    localCheckpoint for the same single-computation guarantee."""
+    sh = shingles if shingles is not None else capped_shingles(spark, sf, n).localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

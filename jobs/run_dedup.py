@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
+    capped_shingles,
     connected_components,
     dedup_exact,
     dedup_minhash_lsh,
@@ -104,6 +105,17 @@ def run_dedup_job(
         .parquet(os.path.join(out_dir, "candidate_pairs")),
         lambda: n("candidate_pairs"),
     )
+    # materialize the df-capped shingle table ONCE: jaccard_for_pairs
+    # references it four times and Catalyst does not share subtrees —
+    # without this the corpus is scanned and the df-cap window shuffled
+    # 4x (r4 review)
+    sr.run(
+        "shingles",
+        lambda: capped_shingles(spark, sf_dir, 3)
+        .write.mode("overwrite")
+        .parquet(os.path.join(out_dir, "shingles")),
+        lambda: n("shingles"),
+    )
     sr.run(
         "jaccard_verify",
         lambda: jaccard_for_pairs(
@@ -111,6 +123,7 @@ def run_dedup_job(
             sf_dir,
             spark.read.parquet(os.path.join(out_dir, "candidate_pairs")),
             threshold=jaccard_threshold,
+            shingles=spark.read.parquet(os.path.join(out_dir, "shingles")),
         )
         .write.mode("overwrite")
         .parquet(os.path.join(out_dir, "verified_pairs")),

@@ -379,7 +379,7 @@ def test_trainprep_stage_resume(spark, tmp_path):
     assert s2["stages_skipped"] == ["scrub_and_gates"]
     assert s2["dedup"]["stages_skipped"] == ["exact", "lsh_candidates"]
     assert set(s2["dedup"]["stages_run"]) == {
-        "jaccard_verify", "components", "keepers_split",
+        "shingles", "jaccard_verify", "components", "keepers_split",
     }
     # resumed output equals an un-crashed fresh run
     s3 = run_trainprep_job(spark, SF_DIR, str(tmp_path / "prep2"), **kwargs)

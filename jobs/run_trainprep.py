@@ -314,6 +314,11 @@ def run_trainprep_job(
         cols = ["doc_id", "text", "lang", "split"]
         final = keepers.join(filtered, "doc_id")
         if has_media:
+            # remap_media_refs references its input from three plan
+            # branches (with-media / no-media split + the re-join) and
+            # Catalyst does not share subtrees — materialize the
+            # keepers⋈filtered join once instead of executing it 3x
+            final = final.localCheckpoint()
             ref_map = spark.read.parquet(os.path.join(out_dir, "media", "ref_map"))
             final = remap_media_refs(final, ref_map)
             cols.append("media_refs")

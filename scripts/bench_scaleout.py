@@ -19,6 +19,14 @@ round-robin) so leg B inherits the same pathology per executor. The 4
 JVMs share only the physical memory bus — exactly what 4 co-located
 executors on one cluster node share.
 
+Honest limitation: this model is faithful ONLY for the fused variant
+it runs, because fused is map-only (no exchange) — per-executor
+independence is exactly its cluster behavior. A shuffling job
+(denoise_exploded, the dedup joins) would see its shuffle become
+executor-LOCAL under quartering, hiding the network cost a real
+cluster pays; scale-out numbers for those must come from a real
+multi-node run, so this script deliberately does not produce them.
+
 Appends results to BENCH/BASELINE.md and prints one JSON line.
 
 Usage: python scripts/bench_scaleout.py [--execs 4] [--cores 4] [--reps 2]

@@ -84,7 +84,54 @@ def test_rows_only_queries_run(spark, name):
     assert len(df.schema.fields) > 0
 
 
-def test_approx_distinct_semantic_contract(spark):
+_NASTY_TEXTS = [
+    (1, None),  # null text
+    (2, ""),  # empty
+    (3, " "),  # single space
+    (4, "   "),  # only spaces
+    (5, "a"),  # single char
+    (6, "a  b"),  # double space -> empty token in split
+    (7, "one two"),  # below 3-gram threshold
+    (8, "one two three"),  # exactly at 3-gram threshold
+    (9, "tab\tand\nnewline inside the text body here"),
+    (10, "café entrée naïve résumé 中文 words"),
+    (11, "12345 67890 222 33 4"),  # digits only (scrub masks all)
+    (12, "w" * 300),  # one very long word
+    (13, "ends with spaces   "),
+    (14, "the the the the the the the the"),  # max repetition
+    (15, "every clever weaver sewed seven green sleeves here"),
+]
+
+
+def test_text_keys_on_adversarial_corpus(spark, tmp_path):
+    """Bit-level Spark-vs-DuckDB parity for the text/gate keys on a
+    corpus of adversarial strings the sf tables may never contain:
+    nulls, empties, double spaces (empty split tokens), intra-text
+    tabs/newlines, non-ASCII, digit-only, 300-char words, trailing
+    spaces, degenerate repetition. Protects the driver-correctness
+    surface against synthetic-corpus drift."""
+    sdir = tmp_path / "adv"
+    sdir.mkdir()
+    docs = spark.createDataFrame(
+        [(i, t, "en", "adv", len(t) if t else 0) for i, t in _NASTY_TEXTS],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.parquet(str(sdir / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sdir}/documents.parquet/*.parquet'"
+    )
+    keys = [
+        "lang_id", "quality_score", "text_scrub", "token_count",
+        "quality_repetition", "doc_fingerprint", "dedup_exact",
+        "sample_split", "decontaminate_overlap",
+    ]
+    for name in keys:
+        sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()
+        ddf = con.execute(QUERIES[name]["sql"]).df()
+        assert_frames_match(sdf, ddf, f"adversarial:{name}")
     """Rows-only key contract (SURVEY §2): the HLL estimate must land
     within tolerance of the exact distinct count per group — the exact
     side is the oracle-checked `agg_distinct` twin, so this transitively

@@ -24,9 +24,11 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
 def _cos(a: str, b: str):
+    # nullif: a zero-norm (failed-embedding) vector must yield NULL,
+    # not an ANSI DIVIDE_BY_ZERO crash (r4 adversarial probe)
     return F.expr(
-        f"{_DOT.format(a=a, b=b)} / (sqrt({_DOT.format(a=a, b=a)}) * "
-        f"sqrt({_DOT.format(a=b, b=b)}))"
+        f"{_DOT.format(a=a, b=b)} / nullif(sqrt({_DOT.format(a=a, b=a)}) * "
+        f"sqrt({_DOT.format(a=b, b=b)}), 0D)"
     )
 
 

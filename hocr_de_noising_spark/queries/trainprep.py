@@ -299,7 +299,7 @@ vals AS (
     FROM pairs
 )
 SELECT vec_a, vec_b,
-       round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) + 0.0 AS cosine
+       round(sum(xa * xb) / nullif(sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)), 0), 4) + 0.0 AS cosine
 FROM vals GROUP BY vec_a, vec_b
 """
 
@@ -307,10 +307,15 @@ _DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
 
 
 def _cos_expr(a: str, b: str):
+    """Cosine with a NULL result for zero-norm vectors: ANSI mode makes
+    a bare division THROW on /0 (r4 adversarial probe: one all-zero
+    embedding — a failed-embedding row any real corpus contains —
+    crashed the whole query), and the DuckDB oracle applies the same
+    nullif so both engines agree on NULL."""
     dot = _DOT.format(a=a, b=b)
     na = _DOT.format(a=a, b=a)
     nb = _DOT.format(a=b, b=b)
-    return F.expr(f"{dot} / (sqrt({na}) * sqrt({nb}))")
+    return F.expr(f"{dot} / nullif(sqrt({na}) * sqrt({nb}), 0D)")
 
 
 def _rounded_cos(a: str, b: str, digits: int = 4):
@@ -371,12 +376,12 @@ vals AS (
 ),
 cos AS (
     SELECT query_id, neighbor_id,
-           round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) + 0.0 AS cosine
+           round(sum(xa * xb) / nullif(sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)), 0), 4) + 0.0 AS cosine
     FROM vals GROUP BY query_id, neighbor_id
 )
 SELECT query_id, neighbor_id, cosine, rnk FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id
-                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+                                 ORDER BY cosine DESC NULLS LAST, neighbor_id) AS rnk
     FROM cos) WHERE rnk <= 3
 """
 
@@ -396,7 +401,7 @@ def knn_bruteforce(spark, sf):
         F.col("vec_id").alias("neighbor_id"),
         _rounded_cos("qv", "v").alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "neighbor_id")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc_nulls_last(), "neighbor_id")
     return (
         pairs.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
@@ -497,7 +502,7 @@ vals AS (
     FROM pairs JOIN vv va ON va.vec_id = vec_a JOIN vv vb ON vb.vec_id = vec_b
 )
 SELECT vec_a, vec_b,
-       round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 4) + 0.0 AS cosine
+       round(sum(xa * xb) / nullif(sqrt(sum(xa * xa)) * sqrt(sum(xb * xb)), 0), 4) + 0.0 AS cosine
 FROM vals GROUP BY vec_a, vec_b
 """
 

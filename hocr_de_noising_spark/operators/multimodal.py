@@ -131,9 +131,12 @@ def extract_features(df: DataFrame) -> DataFrame:
 def resize_image_stub(df: DataFrame, max_side: int = 32) -> DataFrame:
     """Resize plan: recompute target dims JVM-side from decoded
     metadata; the pixel resample itself is the stubbed step."""
+    # nullif: a 0x0 item (possible from a real codec on corrupt input)
+    # must yield NULL target dims, not an ANSI DIVIDE_BY_ZERO crash
     scale = F.least(
         F.lit(1.0),
-        F.lit(max_side) / F.greatest("width", "height").cast("double"),
+        F.lit(max_side)
+        / F.nullif(F.greatest("width", "height").cast("double"), F.lit(0.0)),
     )
     return df.withColumn(
         "target_width", F.ceil(F.col("width") * scale).cast("int")

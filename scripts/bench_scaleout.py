@@ -47,7 +47,14 @@ sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, "tests", "fixtures", "cache")
 
 # the per-executor worker: runs fused denoise on one input dir with a
-# wave-parity split size, prints one float (seconds)
+# wave-parity split size, prints one float (seconds). A file-based
+# barrier (ready-file + go-file) synchronizes concurrent workers so
+# every timed section starts AFTER every worker finished its JVM
+# startup + warmup — without it, staggered starts overlap one worker's
+# timed run with another's warmup burst and the leg reads pure
+# contention noise (measured: 8-exec efficiency 0.166 pre-barrier).
+# A real cluster has the same property: all executors run the job
+# phase together, not against each other's bootstraps.
 _WORKER = r"""
 import os, sys, time
 sys.path.insert(0, {repo!r})
@@ -55,6 +62,7 @@ from hocr_de_noising_spark.session import get_spark
 from hocr_de_noising_spark.operators.pipeline import denoise_fused
 from bench import calibrate_mpb
 docs_path, lex_path, cores = sys.argv[1], sys.argv[2], int(sys.argv[3])
+barrier_dir, worker_id = sys.argv[4], sys.argv[5]
 spark = get_spark("scaleout-%d" % os.getpid(), cores=cores,
                   shuffle_partitions=cores * 2,
                   extra_conf={{"spark.sql.files.openCostInBytes": "512k"}})
@@ -66,6 +74,9 @@ docs = spark.read.parquet(docs_path)
 warm = docs.limit(max(cores * 200, 2000)).repartition(cores)
 denoise_fused(warm, lex_tokens).write.format("noop").mode("overwrite").save()
 docs.count()
+open(os.path.join(barrier_dir, "ready-" + worker_id), "w").write("ok")
+while not os.path.exists(os.path.join(barrier_dir, "go")):
+    time.sleep(0.05)
 t0 = time.time()
 denoise_fused(docs, lex_tokens).write.format("noop").mode("overwrite").save()
 print("WORKER_SEC %.3f" % (time.time() - t0), flush=True)
@@ -109,12 +120,32 @@ def quarter_corpus(bench_dir: str, n: int) -> list[str]:
     return [os.path.join(out, f"q{i}") for i in range(n)]
 
 
-def run_worker(docs_path: str, lex_path: str, cores: int, core_set: str) -> subprocess.Popen:
+def run_worker(
+    docs_path: str, lex_path: str, cores: int, core_set: str,
+    barrier_dir: str, worker_id: str,
+) -> subprocess.Popen:
     cmd = [
         "taskset", "-c", core_set, sys.executable, "-c",
         _WORKER.format(repo=REPO), docs_path, lex_path, str(cores),
+        barrier_dir, worker_id,
     ]
     return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
+
+
+def _barrier(procs_dir: str, n: int, timeout_s: float = 600.0) -> None:
+    """Release the go-file once all n workers wrote ready files."""
+    import time
+
+    t0 = time.time()
+    while True:
+        ready = [f for f in os.listdir(procs_dir) if f.startswith("ready-")]
+        if len(ready) >= n:
+            break
+        if time.time() - t0 > timeout_s:
+            raise RuntimeError(f"barrier timeout: {len(ready)}/{n} ready")
+        time.sleep(0.2)
+    with open(os.path.join(procs_dir, "go"), "w") as f:
+        f.write("go")
 
 
 def main() -> None:
@@ -132,31 +163,39 @@ def main() -> None:
     quarters = quarter_corpus(bench_dir, args.execs)
     n_docs = SIZES["bench"]
 
+    import shutil
+    import tempfile
+
     best = {"one": None, "many": None}
     for _ in range(args.reps):
-        # leg A: one executor, full corpus (its wall includes warmup-free
-        # timed section only — the worker prints its own timed seconds,
-        # but wall-clock across the process is what a cluster sees; we
-        # use the worker's own timed section for both legs, so JVM
-        # startup/warmup cancels)
-        p = run_worker(full, lex_path, args.cores, f"0-{args.cores - 1}")
+        # leg A: one executor, full corpus. The worker's own timed
+        # section is used for both legs, so JVM startup/warmup cancels.
+        bdir = tempfile.mkdtemp(prefix="scaleout-barrier-")
+        p = run_worker(full, lex_path, args.cores, f"0-{args.cores - 1}", bdir, "a0")
+        _barrier(bdir, 1)
         out, _ = p.communicate(timeout=1800)
         assert p.returncode == 0, out[-2000:]
         t_one = float(out.strip().split()[-1])
         best["one"] = t_one if best["one"] is None else min(best["one"], t_one)
+        shutil.rmtree(bdir, ignore_errors=True)
 
         # leg B: execs concurrent executors on disjoint cores + quarters;
-        # cluster wall = max of the executors' timed sections
+        # the barrier releases every timed section simultaneously (all
+        # bootstraps done); cluster wall = max of the timed sections
+        bdir = tempfile.mkdtemp(prefix="scaleout-barrier-")
         procs, secs = [], []
         for i, q in enumerate(quarters):
             cs = f"{i * args.cores}-{(i + 1) * args.cores - 1}"
-            procs.append(run_worker(os.path.join(q, "docs.parquet"), lex_path, args.cores, cs))
+            procs.append(run_worker(os.path.join(q, "docs.parquet"), lex_path,
+                                    args.cores, cs, bdir, f"b{i}"))
+        _barrier(bdir, len(quarters))
         for p in procs:
             out, _ = p.communicate(timeout=1800)
             assert p.returncode == 0 and "WORKER_SEC" in out, out[-2000:]
             secs.append(float(out.strip().split()[-1]))
         t_many = max(secs)
         best["many"] = t_many if best["many"] is None else min(best["many"], t_many)
+        shutil.rmtree(bdir, ignore_errors=True)
 
     eff = best["one"] / (args.execs * best["many"])
     with open("/proc/loadavg") as f:

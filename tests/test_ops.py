@@ -134,6 +134,58 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         assert_frames_match(sdf, ddf, f"adversarial:{name}")
 
 
+def test_quality_repetition_matches_python_reference(spark, tmp_path):
+    """Randomized differential: the JVM array-HOF repetition metrics
+    must equal an independent pure-Python computation on 60 random
+    texts (seeded), including short docs, repeated words and empty
+    tokens from double spaces."""
+    import random
+
+    rng = random.Random(42)
+    vocab = ["the", "evening", "keeper", "records", "weather", "tide",
+             "pier", "letters", "envoy", "embers", "a", "b"]
+    texts = []
+    for i in range(60):
+        n = rng.randint(1, 40)
+        words = [rng.choice(vocab) for _ in range(n)]
+        t = " ".join(words)
+        if rng.random() < 0.2:
+            t = t.replace(" ", "  ", 1)  # double space -> empty token
+        texts.append((i, t))
+
+    def r4(x):
+        # Spark/DuckDB round() is half-up; Python's is banker's
+        return math.floor(x * 10000 + 0.5) / 10000
+
+    def ref(t):
+        toks = t.split(" ")  # NB: keeps empty tokens, like F.split
+        n = len(toks)
+        dw = r4(1.0 - len(set(toks)) / n)
+        if n >= 3:
+            grams = [" ".join(toks[i:i + 3]) for i in range(n - 2)]
+            dg = r4(1.0 - len(set(grams)) / (n - 2))
+        else:
+            dg = 0.0
+        return n, dw, dg
+
+    sdir = tmp_path / "rnd"
+    sdir.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "r", len(t)) for i, t in texts],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(sdir / "documents.parquet"))
+    got = {
+        r.doc_id: (r.n_words, r.dup_word_frac, r.dup_3gram_frac)
+        for r in QUERIES["quality_repetition"]["fn"](spark, str(sdir)).collect()
+    }
+    for i, t in texts:
+        n, dw, dg = ref(t)
+        gn, gdw, gdg = got[i]
+        assert gn == n, (i, t)
+        assert abs(gdw - dw) < 1e-9, (i, t, gdw, dw)
+        assert abs(gdg - dg) < 1e-9, (i, t, gdg, dg)
+
+
 def test_embedding_keys_on_adversarial_vectors(spark, tmp_path):
     """r4 probe found a real crash: a zero-norm embedding (the failed-
     embedding row every real corpus contains) made the bare cosine

@@ -1097,10 +1097,19 @@ def jaccard_for_pairs(spark, sf, pairs, threshold: float = 0.2, n: int = 3,
     side, and the two size joins) and Catalyst does not share plan
     subtrees (r4 review: the plan showed 4 corpus scans + 4 df-cap
     windows). Pass ``shingles`` (a materialized capped-shingle table —
-    run_dedup_job writes one as its own resumable stage) to compute
-    the subtree once; standalone callers fall back to an eager
-    localCheckpoint for the same single-computation guarantee."""
-    sh = shingles if shingles is not None else capped_shingles(spark, sf, n).localCheckpoint()
+    run_dedup_job writes one as its own resumable stage; it MUST have
+    been built with the same n-gram size, since ``n`` only governs the
+    fallback) to compute the subtree once; standalone callers fall
+    back to a LAZY localCheckpoint — computed once on the first
+    action, shared by all four references, and no corpus scan fires
+    from merely constructing the plan. NB localCheckpoint blocks are
+    executor-local (not fault-tolerant); the composed job's manifest
+    stage re-run is the recovery path on executor loss."""
+    sh = (
+        shingles
+        if shingles is not None
+        else capped_shingles(spark, sf, n).localCheckpoint(eager=False)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

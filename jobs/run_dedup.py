@@ -108,14 +108,24 @@ def run_dedup_job(
     # materialize the df-capped shingle table ONCE: jaccard_for_pairs
     # references it four times and Catalyst does not share subtrees —
     # without this the corpus is scanned and the df-cap window shuffled
-    # 4x (r4 review)
-    sr.run(
-        "shingles",
-        lambda: capped_shingles(spark, sf_dir, 3)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "shingles")),
-        lambda: n("shingles"),
-    )
+    # 4x (r4 review). Restricted to docs that actually appear in a
+    # candidate pair (left-semi): jaccard only ever reads those, and
+    # most of a real corpus has no LSH candidate, so the written table
+    # and every downstream reference shrink by that fraction. The df
+    # cap itself is still computed over the FULL corpus first —
+    # restricting before the window would change document frequencies.
+    def write_candidate_shingles():
+        pairs = spark.read.parquet(os.path.join(out_dir, "candidate_pairs"))
+        ids = (
+            pairs.select(F.col("doc_a").alias("doc_id"))
+            .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
+        )
+        capped_shingles(spark, sf_dir, 3).join(
+            ids, "doc_id", "left_semi"
+        ).write.mode("overwrite").parquet(os.path.join(out_dir, "shingles"))
+
+    sr.run("shingles", write_candidate_shingles, lambda: n("shingles"))
     sr.run(
         "jaccard_verify",
         lambda: jaccard_for_pairs(

@@ -316,9 +316,11 @@ def run_trainprep_job(
         if has_media:
             # remap_media_refs references its input from three plan
             # branches (with-media / no-media split + the re-join) and
-            # Catalyst does not share subtrees — materialize the
+            # Catalyst does not share subtrees — checkpoint the
             # keepers⋈filtered join once instead of executing it 3x
-            final = final.localCheckpoint()
+            # (lazy: materializes on the write action; executor-local —
+            # the manifest stage re-run is the recovery on node loss)
+            final = final.localCheckpoint(eager=False)
             ref_map = spark.read.parquet(os.path.join(out_dir, "media", "ref_map"))
             final = remap_media_refs(final, ref_map)
             cols.append("media_refs")

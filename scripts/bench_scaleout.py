@@ -43,6 +43,9 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from proc_barrier import release as _release  # noqa: E402
 
 CACHE = os.path.join(REPO, "tests", "fixtures", "cache")
 
@@ -75,7 +78,10 @@ warm = docs.limit(max(cores * 200, 2000)).repartition(cores)
 denoise_fused(warm, lex_tokens).write.format("noop").mode("overwrite").save()
 docs.count()
 open(os.path.join(barrier_dir, "ready-" + worker_id), "w").write("ok")
+_deadline = time.time() + 900
 while not os.path.exists(os.path.join(barrier_dir, "go")):
+    if time.time() > _deadline:
+        sys.exit(3)  # barrier never released -- die instead of orphaning
     time.sleep(0.05)
 t0 = time.time()
 denoise_fused(docs, lex_tokens).write.format("noop").mode("overwrite").save()
@@ -132,22 +138,6 @@ def run_worker(
     return subprocess.Popen(cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True)
 
 
-def _barrier(procs_dir: str, n: int, timeout_s: float = 600.0) -> None:
-    """Release the go-file once all n workers wrote ready files."""
-    import time
-
-    t0 = time.time()
-    while True:
-        ready = [f for f in os.listdir(procs_dir) if f.startswith("ready-")]
-        if len(ready) >= n:
-            break
-        if time.time() - t0 > timeout_s:
-            raise RuntimeError(f"barrier timeout: {len(ready)}/{n} ready")
-        time.sleep(0.2)
-    with open(os.path.join(procs_dir, "go"), "w") as f:
-        f.write("go")
-
-
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--execs", type=int, default=4)
@@ -172,7 +162,7 @@ def main() -> None:
         # section is used for both legs, so JVM startup/warmup cancels.
         bdir = tempfile.mkdtemp(prefix="scaleout-barrier-")
         p = run_worker(full, lex_path, args.cores, f"0-{args.cores - 1}", bdir, "a0")
-        _barrier(bdir, 1)
+        _release(bdir, 1, [p])
         out, _ = p.communicate(timeout=1800)
         assert p.returncode == 0, out[-2000:]
         t_one = float(out.strip().split()[-1])
@@ -188,7 +178,7 @@ def main() -> None:
             cs = f"{i * args.cores}-{(i + 1) * args.cores - 1}"
             procs.append(run_worker(os.path.join(q, "docs.parquet"), lex_path,
                                     args.cores, cs, bdir, f"b{i}"))
-        _barrier(bdir, len(quarters))
+        _release(bdir, len(quarters), procs)
         for p in procs:
             out, _ = p.communicate(timeout=1800)
             assert p.returncode == 0 and "WORKER_SEC" in out, out[-2000:]

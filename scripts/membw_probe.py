@@ -24,6 +24,9 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from proc_barrier import release as _release  # noqa: E402
 
 _WORKER = r"""
 import sys, time, numpy as np
@@ -32,7 +35,10 @@ import os
 a = np.random.default_rng(0).random(mb * 1024 * 1024 // 8)  # float64
 a.sum()  # touch all pages
 open(os.path.join(barrier_dir, "ready-" + wid), "w").write("ok")
+_deadline = time.time() + 900
 while not os.path.exists(os.path.join(barrier_dir, "go")):
+    if time.time() > _deadline:
+        sys.exit(3)  # barrier never released -- die instead of orphaning
     time.sleep(0.02)
 t0 = time.time()
 s = 0.0
@@ -56,15 +62,7 @@ def run_level(n_procs: int, mb: int, passes: int) -> float:
                str(mb), str(passes), bdir, str(i)]
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=subprocess.DEVNULL, text=True))
-    t0 = time.time()
-    while True:
-        if len([f for f in os.listdir(bdir) if f.startswith("ready-")]) >= n_procs:
-            break
-        if time.time() - t0 > 120:
-            raise RuntimeError("barrier timeout")
-        time.sleep(0.05)
-    with open(os.path.join(bdir, "go"), "w") as f:
-        f.write("go")
+    _release(bdir, n_procs, procs, timeout_s=120.0)
     secs = []
     for p in procs:
         out, _ = p.communicate(timeout=600)

@@ -1,0 +1,47 @@
+"""Shared start-barrier for multi-process benchmarks (r4 review: the
+ready/go protocol was duplicated in bench_scaleout and membw_probe,
+and neither killed its children on barrier failure — a worker dying
+pre-ready left N-1 pinned processes polling for a go-file forever).
+
+Protocol: each worker writes ``ready-<id>`` into the barrier dir after
+its bootstrap, then polls for ``go`` (with its own deadline, exiting
+non-zero on timeout). The parent calls :func:`release` which waits for
+all ready files then writes ``go``; on timeout it kills every child
+process before raising, so no orphan can outlive the benchmark.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+# worker-side poll loop as a format-ready code fragment: {bdir}/{wid}
+# are runtime argv values in the embedding scripts
+WORKER_WAIT = r"""
+open(os.path.join(barrier_dir, "ready-" + worker_id), "w").write("ok")
+_deadline = time.time() + 900
+while not os.path.exists(os.path.join(barrier_dir, "go")):
+    if time.time() > _deadline:
+        sys.exit(3)  # barrier never released — die instead of orphaning
+    time.sleep(0.05)
+"""
+
+
+def release(barrier_dir: str, n: int, procs, timeout_s: float = 600.0) -> None:
+    """Wait for n ready files then write the go-file. On timeout, kill
+    every process in ``procs`` first so no pinned orphan survives."""
+    t0 = time.time()
+    while True:
+        ready = [f for f in os.listdir(barrier_dir) if f.startswith("ready-")]
+        if len(ready) >= n:
+            break
+        if time.time() - t0 > timeout_s:
+            for p in procs:
+                try:
+                    p.kill()
+                except Exception:
+                    pass
+            raise RuntimeError(f"barrier timeout: {len(ready)}/{n} ready")
+        time.sleep(0.2)
+    with open(os.path.join(barrier_dir, "go"), "w") as f:
+        f.write("go")

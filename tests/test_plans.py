@@ -136,6 +136,11 @@ def test_calibrate_mpb_hits_exact_wave_parity(spark, correctness_dir):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from bench import calibrate_mpb
 
+    # NB: pins the CURRENT fixture layout (multi-file, 500-row groups).
+    # calibrate_mpb's contract allows a nearest-count fallback when
+    # packing granularity can't hit the target; if a fixture/writer
+    # change makes these exact targets unreachable, loosen this to a
+    # +/-1-partition tolerance rather than treating it as a regression.
     docs_path = os.path.join(correctness_dir, "docs.parquet")
     old = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:

@@ -61,6 +61,7 @@ HEADLINE = [
     "stream_session",
     "quality_repetition",
     "decontaminate_overlap",
+    "dedup_media_near",
 ]
 # ingest corpus: realistic Tesseract-scale pages (~300 words / ~26 KB)
 HOCR_DOCS = 8_000

@@ -46,14 +46,19 @@ def observation_metrics(o: Observation, timeout_s: float = 10.0) -> dict | None:
         box: dict = {}
 
         def _get():
+            # capture, don't swallow (ADVICE r4): a real error from the
+            # Connect query (network failure, cancelled query) must
+            # surface to the caller, not masquerade as a pruned-node None
             try:
                 box["row"] = o.get
-            except Exception:
-                pass
+            except Exception as exc:  # noqa: BLE001 — re-raised on join
+                box["exc"] = exc
 
         t = threading.Thread(target=_get, daemon=True)
         t.start()
         t.join(timeout_s)
+        if "exc" in box:
+            raise box["exc"]
         return dict(box["row"]) if "row" in box else None
 
     deadline = time.monotonic() + timeout_s

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 MEDIA_SCHEMA = "media_ref string, media_type string, content binary"
 DECODED_SCHEMA = (
     "media_ref string, media_type string, width int, height int, "
-    "n_bytes long, sha256 string, decode_ok boolean"
+    "n_bytes long, sha256 string, decode_ok boolean, psig array<int>"
 )
 FEATURES_DIM = 8
 FEATURES_SCHEMA = f"media_ref string, feature array<double>"
@@ -41,6 +41,17 @@ FRAMES_SCHEMA = "media_ref string, frame_idx int, frame_bytes binary"
 
 _MAGIC = b"FAKE"
 _TYPE_CODE = {"image": b"I", "audio": b"A", "video": b"V"}
+
+
+def _fake_payload(h: bytes, n: int) -> bytes:
+    """Structured deterministic payload: constant 32-byte blocks whose
+    values cycle through the ref's hash bytes. Real decoded media
+    (pixel rows, PCM windows) has strong local structure — block-wise
+    near-constant values — which is exactly what perceptual band
+    signatures key on; a uniform pseudo-random payload would give every
+    item the same band means and no fixture could discriminate."""
+    blocks = [bytes([h[k % len(h)]]) * 32 for k in range((n + 31) // 32)]
+    return b"".join(blocks)[:n]
 
 
 def encode_fake_media(
@@ -53,11 +64,8 @@ def encode_fake_media(
     h = hashlib.sha256(media_ref.encode()).digest()
     width = 16 + h[0] % 64
     height = 16 + h[1] % 64
-    if target_bytes is None:
-        payload = (h * 8)[: width * height % 256 + 64]
-    else:
-        n = max(target_bytes - 13, 0)
-        payload = (h * (n // len(h) + 1))[:n]
+    n = width * height % 256 + 64 if target_bytes is None else max(target_bytes - 13, 0)
+    payload = _fake_payload(h, n)
     return _MAGIC + _TYPE_CODE[media_type] + struct.pack(">ii", width, height) + payload
 
 
@@ -67,6 +75,44 @@ def _decode_one(content: bytes):
         return None, None, False
     w, h = struct.unpack(">ii", content[5:13])
     return w, h, True
+
+
+# Perceptual-signature band math shared with queries/media_near.py
+# (aHash/blockhash family — public): bands of _PSIG_BAND units over the
+# first _PSIG_PREFIX payload bytes, integer band mean // _PSIG_Q_BYTES.
+_PSIG_PREFIX, _PSIG_BAND, _PSIG_Q_BYTES = 256, 32, 16
+
+
+def _psig_bytes(payload: bytes) -> list[int]:
+    """Integer band signature of a decoded byte payload (numpy, exact
+    same floor arithmetic as media_near.psig_sql_expr over codes)."""
+    p = np.frombuffer(payload[:_PSIG_PREFIX], dtype=np.uint8)
+    out = []
+    for b in range(0, len(p), _PSIG_BAND):
+        band = p[b : b + _PSIG_BAND]
+        out.append(int(band.sum(dtype=np.int64)) // (len(band) * _PSIG_Q_BYTES))
+    return out
+
+
+def encode_fake_media_reencode(
+    media_ref: str, media_type: str = "image", delta: int = 1
+) -> bytes:
+    """A deterministic 're-encode' of :func:`encode_fake_media`'s item:
+    same underlying payload with every 16th byte shifted by ``delta``
+    and different container dims — DIFFERENT bytes (sha256 misses it)
+    but band means move < one quantization step, so the perceptual
+    signature stays within the L1 near-dup threshold."""
+    orig = encode_fake_media(media_ref, media_type)
+    payload = bytearray(orig[13:])
+    for i in range(0, len(payload), 16):
+        payload[i] = min(255, payload[i] + delta)
+    w, h = struct.unpack(">ii", orig[5:13])
+    return (
+        _MAGIC
+        + _TYPE_CODE[media_type]
+        + struct.pack(">ii", h, w)  # container metadata differs too
+        + bytes(payload)
+    )
 
 
 def decode_media(df: DataFrame, decode_strict: bool = False) -> DataFrame:
@@ -84,7 +130,7 @@ def decode_media(df: DataFrame, decode_strict: bool = False) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            widths, heights, oks, shas, sizes = [], [], [], [], []
+            widths, heights, oks, shas, sizes, psigs = [], [], [], [], [], []
             for content in pdf["content"]:
                 b = bytes(content) if content is not None else None
                 w, h, ok = _decode_one(b)
@@ -93,6 +139,9 @@ def decode_media(df: DataFrame, decode_strict: bool = False) -> DataFrame:
                 oks.append(ok)
                 sizes.append(len(b) if b is not None else 0)
                 shas.append(hashlib.sha256(b).hexdigest() if b is not None else None)
+                # perceptual signature over the DECODED payload (the
+                # bytes a real codec's pixel buffer would yield here)
+                psigs.append(_psig_bytes(b[13:]) if ok else None)
             yield pd.DataFrame(
                 {
                     "media_ref": pdf["media_ref"],
@@ -102,6 +151,7 @@ def decode_media(df: DataFrame, decode_strict: bool = False) -> DataFrame:
                     "n_bytes": pd.array(sizes, dtype="int64"),
                     "sha256": shas,
                     "decode_ok": oks,
+                    "psig": psigs,
                 }
             )
 

@@ -95,6 +95,23 @@ class StageManifest:
         return out
 
 
+class _Skipped:
+    """Sentinel returned by :meth:`StageRunner.run` for a stage skipped
+    on resume (ADVICE r4: ``None`` was indistinguishable from ``fn()``
+    legitimately returning None). Falsy so existing truthiness checks
+    keep working; callers that need the stage's product must read it
+    from the stage's written output, which is the durable contract."""
+
+    def __bool__(self) -> bool:
+        return False
+
+    def __repr__(self) -> str:
+        return "<stage skipped on resume>"
+
+
+SKIPPED = _Skipped()
+
+
 class StageRunner:
     """Run-or-skip wrapper shared by the composed jobs.
 
@@ -102,7 +119,10 @@ class StageRunner:
     already committed, then commits one manifest row with the stage's
     output row count (from ``count_fn``, typically a metadata-cheap
     parquet count of the stage's written output). Without a manifest it
-    degrades to plain timed execution (the pre-r4 behavior)."""
+    degrades to plain timed execution (the pre-r4 behavior). A stage
+    skipped on resume returns the module-level :data:`SKIPPED` sentinel,
+    never ``None`` — the on-disk stage output is the only contract for a
+    skipped stage's product."""
 
     def __init__(
         self,
@@ -128,7 +148,7 @@ class StageRunner:
         if name in self.done:
             self.stage_secs[name] = 0.0
             self.stages_skipped.append(name)
-            return None
+            return SKIPPED
         t0 = time.time()
         out = fn()
         secs = round(time.time() - t0, 3)

@@ -94,8 +94,8 @@ def gate_stage(docs, min_quality: float, langs: tuple[str, ...]):
     )
 
 
-def media_stage(spark, media, media_out_dir: str) -> dict:
-    """Exact media dedup over opaque binary content: fake-codec decode
+def media_stage(spark, media, media_out_dir: str, near_dedup: bool = False) -> dict:
+    """Media dedup over opaque binary content: fake-codec decode
     (``operators/multimodal.decode_media`` — the Arrow-batched stage a
     real codec would replace) → sha256 digest → canonical ref = min
     media_ref per digest. Writes
@@ -105,9 +105,21 @@ def media_stage(spark, media, media_out_dir: str) -> dict:
       media_out_dir/ref_map  (media_ref, canonical_ref) for EVERY input
                              ref — the join key for remapping documents
 
+    ``near_dedup=True`` (VERDICT r4 item 3) additionally collapses
+    NEAR-duplicates the byte hash misses (re-encoded/resized copies):
+    the decode pass's perceptual band signature (``psig``) feeds the
+    same banded-LSH cap/salt core as ``dedup_media_near``; verified
+    pairs (full-signature L1 ≤ threshold) among the exact-dedup
+    survivors are clustered with O(log n) star connected components,
+    and each exact canonical is re-pointed at its cluster minimum, so
+    ref_map composes exact ∘ near in one map.
+
     Binary payloads stay in the decode mapInPandas stage; only refs +
-    digests (tiny) reach the dedup shuffle, so the stage holds at media
-    volumes where content is TBs. Returns counts."""
+    digests + ≤8-int signatures reach any shuffle, so the stage holds
+    at media volumes where content is TBs. Returns counts."""
+    from hocr_de_noising_spark.queries.media_near import psig_near_pairs
+    from hocr_de_noising_spark.queries.trainprep import connected_components
+
     # materialize the decode ONCE: the mapInPandas pass scans every
     # binary payload and hashes it — the dominant cost at TB media
     # volumes — and the derivations below reference it from four plan
@@ -134,6 +146,28 @@ def media_stage(spark, media, media_out_dir: str) -> dict:
             )
         )
     )
+    if near_dedup:
+        # near clusters over the EXACT-dedup survivors only (every
+        # exact dup already maps to its canonical, so clustering the
+        # survivors covers the whole input at 1/dup-factor the size)
+        sigs = (
+            decoded.filter("decode_ok")
+            .join(canon.select(F.col("canonical_ref").alias("media_ref")), "media_ref")
+            .filter(F.size("psig") > 0)
+            .select("media_ref", "psig")
+        )
+        pairs = psig_near_pairs(sigs).select(
+            F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
+        )
+        comps = connected_components(pairs, algorithm="star")
+        near_map = comps.filter(F.col("doc_id") != F.col("component")).select(
+            F.col("doc_id").alias("canonical_ref"),
+            F.col("component").alias("near_ref"),
+        )
+        ref_map = ref_map.join(near_map, "canonical_ref", "left").select(
+            "media_ref",
+            F.coalesce("near_ref", "canonical_ref").alias("canonical_ref"),
+        )
     ref_map.write.mode("overwrite").parquet(os.path.join(media_out_dir, "ref_map"))
     ref_map = spark.read.parquet(os.path.join(media_out_dir, "ref_map"))
     meta = decoded.join(
@@ -192,6 +226,7 @@ def run_trainprep_job(
     fail_after_stage: str | None = None,
     decontaminate: bool = False,
     components_algorithm: str = "propagate",
+    media_near_dedup: bool = False,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -206,12 +241,24 @@ def run_trainprep_job(
     docs = load(spark, sf_dir, "documents")
     n_in = docs.count()
 
+    # media presence decided UP FRONT and folded into the param lineage
+    # (ADVICE r4): if media.parquet appears between resumed runs of the
+    # same run_id, every committed stage is invalidated — otherwise a
+    # skipped final_corpus stage would silently lack remapped
+    # media_refs while the summary reports media counts. Ditto the
+    # decontaminate flag (its report feeds the summary).
+    media_path = os.path.join(sf_dir, "media.parquet")
+    has_media = os.path.exists(media_path) and "media_refs" in docs.columns
+
     p_hash = params_hash(
         input=sf_dir,
         output=out_dir,
         min_quality=min_quality,
         langs=tuple(langs),
         jaccard_threshold=jaccard_threshold,
+        has_media=has_media,
+        decontaminate=decontaminate,
+        media_near_dedup=media_near_dedup,
     )
     sr = StageRunner(
         StageManifest(manifest_dir) if manifest_dir else None,
@@ -283,16 +330,18 @@ def run_trainprep_job(
         decon_summary = {"n_contaminated": n_of(os.path.join(out_dir, "decon"))}
 
     # media stage: runs iff the input carries media.parquet AND docs
-    # carry media_refs (both shapes optional — text-only corpora skip)
-    media_path = os.path.join(sf_dir, "media.parquet")
-    has_media = os.path.exists(media_path) and "media_refs" in docs.columns
+    # carry media_refs (both shapes optional — text-only corpora skip);
+    # has_media was resolved before p_hash so it is part of the lineage
     media_summary: dict = {}
     if has_media:
         media_out = os.path.join(out_dir, "media")
         sr.run(
             "media_dedup",
             lambda: media_stage(
-                spark, spark.read.parquet(media_path), media_out
+                spark,
+                spark.read.parquet(media_path),
+                media_out,
+                near_dedup=media_near_dedup,
             ),
             lambda: n_of(os.path.join(media_out, "meta")),
         )
@@ -365,6 +414,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--components-algorithm", default="propagate",
                     choices=("propagate", "star"),
                     help="star = O(log n) rounds at any graph diameter")
+    ap.add_argument("--media-near-dedup", action="store_true",
+                    help="also collapse perceptual near-duplicate media "
+                         "(re-encoded copies the byte hash misses)")
     args = ap.parse_args(argv)
     spark = get_spark("hocr-trainprep-job", cores=args.cores)
     summary = run_trainprep_job(
@@ -378,6 +430,7 @@ def main(argv: list[str] | None = None) -> None:
         run_id=args.run_id,
         decontaminate=args.decontaminate,
         components_algorithm=args.components_algorithm,
+        media_near_dedup=args.media_near_dedup,
     )
     print(summary)
     spark.stop()

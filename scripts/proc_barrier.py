@@ -30,17 +30,30 @@ while not os.path.exists(os.path.join(barrier_dir, "go")):
 def release(barrier_dir: str, n: int, procs, timeout_s: float = 600.0) -> None:
     """Wait for n ready files then write the go-file. On timeout, kill
     every process in ``procs`` first so no pinned orphan survives."""
+    def _kill_all():
+        for p in procs:
+            try:
+                p.kill()
+            except Exception:
+                pass
+
     t0 = time.time()
     while True:
         ready = [f for f in os.listdir(barrier_dir) if f.startswith("ready-")]
         if len(ready) >= n:
             break
+        # fail fast on a dead child (ADVICE r4): a worker that exits
+        # before writing its ready file can never satisfy the barrier,
+        # so don't burn the full timeout before cleaning up
+        dead = [p for p in procs if p.poll() is not None]
+        if dead:
+            _kill_all()
+            raise RuntimeError(
+                f"barrier worker died pre-ready (rc={dead[0].returncode}); "
+                f"{len(ready)}/{n} ready"
+            )
         if time.time() - t0 > timeout_s:
-            for p in procs:
-                try:
-                    p.kill()
-                except Exception:
-                    pass
+            _kill_all()
             raise RuntimeError(f"barrier timeout: {len(ready)}/{n} ready")
         time.sleep(0.2)
     with open(os.path.join(barrier_dir, "go"), "w") as f:

@@ -140,3 +140,133 @@ def test_arrow_batch_bounds_binary_heavy_rows(spark):
 
     dec = decode_media(df).collect()
     assert len(dec) == 64 and all(not r.decode_ok for r in dec)  # not FAKE containers
+
+
+def test_psig_reencode_within_threshold():
+    """VERDICT r4 item 3: a re-encoded copy (different bytes, different
+    container dims) must land within PSIG_L1_MAX of the original's
+    perceptual signature while its sha256 differs; distinct-content
+    items must not be near by construction of the fixture set."""
+    import hashlib
+
+    from hocr_de_noising_spark.operators.multimodal import (
+        _psig_bytes,
+        encode_fake_media_reencode,
+    )
+    from hocr_de_noising_spark.queries.media_near import PSIG_L1_MAX
+
+    orig = encode_fake_media("m2")
+    re_enc = encode_fake_media_reencode("m2")
+    assert re_enc != orig
+    assert hashlib.sha256(re_enc).digest() != hashlib.sha256(orig).digest()
+    sa, sb = _psig_bytes(orig[13:]), _psig_bytes(re_enc[13:])
+    assert len(sa) == len(sb)
+    l1 = sum(abs(x - y) for x, y in zip(sa, sb))
+    assert l1 <= PSIG_L1_MAX, (sa, sb)
+
+
+def test_media_stage_near_dedup_collapses_reencodes(spark, tmp_path):
+    """The exact (sha256) stage must MISS a re-encoded copy; the opt-in
+    near stage must collapse it onto the original's canonical ref, and
+    ref_map must compose exact ∘ near (an exact dup of the re-encode
+    follows it to the near-canonical)."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import media_stage
+
+    from hocr_de_noising_spark.operators.multimodal import (
+        encode_fake_media_reencode,
+    )
+
+    re2 = encode_fake_media_reencode("m2")
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", encode_fake_media("m1")),  # distinct content
+            ("m2", "image", encode_fake_media("m2")),  # original
+            ("m3", "image", encode_fake_media("m2")),  # exact dup of m2
+            ("m6", "image", re2),  # re-encode of m2 (bytes differ)
+            ("m7", "image", re2),  # exact dup of the re-encode
+            ("m9", "image", b"NOTAFAKECONTAINER"),  # undecodable
+        ],
+        "media_ref string, media_type string, content binary",
+    )
+
+    # exact-only: the re-encode survives as its own canonical
+    s_exact = media_stage(spark, media, str(tmp_path / "exact"))
+    exact_map = {
+        r.media_ref: r.canonical_ref
+        for r in spark.read.parquet(str(tmp_path / "exact" / "ref_map")).collect()
+    }
+    assert exact_map["m3"] == "m2" and exact_map["m6"] == "m6"
+    assert s_exact["media_kept"] == 4  # m1, m2, m6, m9
+
+    # near: m6 (and its exact dup m7) collapse onto m2
+    s_near = media_stage(spark, media, str(tmp_path / "near"), near_dedup=True)
+    near_map = {
+        r.media_ref: r.canonical_ref
+        for r in spark.read.parquet(str(tmp_path / "near" / "ref_map")).collect()
+    }
+    assert near_map["m6"] == "m2" and near_map["m7"] == "m2"
+    assert near_map["m3"] == "m2" and near_map["m2"] == "m2"
+    assert near_map["m1"] == "m1" and near_map["m9"] == "m9"
+    assert s_near["media_kept"] == 3  # m1, m2, m9
+    kept = {
+        r.media_ref
+        for r in spark.read.parquet(str(tmp_path / "near" / "meta"))
+        .select("media_ref")
+        .collect()
+    }
+    assert kept == {"m1", "m2", "m9"}
+
+
+def test_trainprep_media_near_dedup_end_to_end(spark, tmp_path):
+    """--media-near-dedup through the composed job: a doc referencing a
+    re-encoded copy ends up referencing the original's canonical ref in
+    the final corpus."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    from hocr_de_noising_spark.operators.multimodal import (
+        encode_fake_media_reencode,
+    )
+
+    corpus_dir = tmp_path / "in"
+    corpus_dir.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (1, "the merchant entered the green levels near the old trees "
+                "and the herd settled while seven geese crossed the meadow",
+             "en", "src", ["m2"]),
+            (2, "every evening the lighthouse keeper records the weather "
+                "then sweeps the lenses before the tide recedes below",
+             "en", "src", ["m6", "m1"]),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "media_refs array<string>",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.parquet(str(corpus_dir / "documents.parquet"))
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", encode_fake_media("m1")),
+            ("m2", "image", encode_fake_media("m2")),
+            ("m6", "image", encode_fake_media_reencode("m2")),
+        ],
+        "media_ref string, media_type string, content binary",
+    )
+    media.write.parquet(str(corpus_dir / "media.parquet"))
+
+    out = str(tmp_path / "prep")
+    s = run_trainprep_job(
+        spark, str(corpus_dir), out, min_quality=0.2, langs=("en",),
+        media_near_dedup=True,
+    )
+    assert s["media_in"] == 3 and s["media_kept"] == 2  # m6 -> m2
+    refs = {
+        r.doc_id: r.media_refs
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    assert refs[1] == ["m2"]
+    assert refs[2] == ["m2", "m1"]  # m6 remapped, order preserved

@@ -60,3 +60,18 @@ def test_metrics_through_local_checkpoint(spark):
     assert df.count() == 50
     m = observation_metrics(o)
     assert m == {"s": 1225}
+
+
+def test_connect_fallback_reraises_real_errors():
+    """ADVICE r4: a real error from the Connect query (network failure,
+    cancelled query) must surface to the caller, not masquerade as a
+    pruned-node None."""
+    import pytest
+
+    class _Raises:  # ConnectObservation shape whose read fails for real
+        @property
+        def get(self):
+            raise ValueError("query was cancelled")
+
+    with pytest.raises(ValueError, match="cancelled"):
+        observation_metrics(_Raises(), timeout_s=2.0)

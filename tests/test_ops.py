@@ -612,3 +612,106 @@ def test_trainprep_media_stage_end_to_end(spark, tmp_path):
         if r.ref is not None
     }
     assert used <= kept
+
+
+def test_stage_runner_skipped_sentinel(tmp_path):
+    """ADVICE r4: a stage skipped on resume must be distinguishable from
+    fn() legitimately returning None — it returns the falsy SKIPPED
+    sentinel, never None."""
+    from hocr_de_noising_spark.stage_manifest import (
+        SKIPPED, StageManifest, StageRunner, params_hash,
+    )
+
+    m = StageManifest(str(tmp_path / "man"))
+    h = params_hash(x=1)
+    r1 = StageRunner(m, "rid", "job", h)
+    assert r1.run("s1", lambda: None) is None  # ran, fn returned None
+    r2 = StageRunner(m, "rid", "job", h)
+    out = r2.run("s1", lambda: None)
+    assert out is SKIPPED and out is not None and not out
+    assert repr(out) == "<stage skipped on resume>"
+
+
+def test_barrier_fails_fast_on_dead_child(tmp_path):
+    """ADVICE r4: a worker that dies before writing its ready file must
+    fail the barrier immediately, not after the full timeout."""
+    import sys
+    import time as _time
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from proc_barrier import release
+
+    class _DeadProc:
+        returncode = 3
+
+        def poll(self):
+            return 3
+
+        def kill(self):
+            self.killed = True
+
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    dead = _DeadProc()
+    t0 = _time.time()
+    with _pytest.raises(RuntimeError, match="died pre-ready"):
+        release(bdir, 2, [dead], timeout_s=60.0)
+    assert _time.time() - t0 < 5  # fast, not the 60 s timeout
+    assert getattr(dead, "killed", False)
+
+
+def test_media_arrival_invalidates_resume(spark, tmp_path):
+    """ADVICE r4: media.parquet appearing between resumed runs of the
+    same run_id must invalidate every committed stage (has_media is in
+    params_hash) so the final corpus carries remapped media_refs."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import pyspark.sql.functions as F
+    from run_trainprep import run_trainprep_job
+
+    from hocr_de_noising_spark.operators.multimodal import encode_fake_media
+
+    corpus_dir = tmp_path / "in"
+    corpus_dir.mkdir()
+    docs = spark.createDataFrame(
+        [
+            (1, "the merchant entered the green levels near the old trees "
+                "and the herd settled while seven geese crossed the meadow",
+             "en", "src", ["m1", "m3"]),
+            (2, "every evening the lighthouse keeper records the weather "
+                "then sweeps the lenses before the tide recedes below",
+             "en", "src", ["m2"]),
+        ],
+        "doc_id long, text string, lang string, source string, "
+        "media_refs array<string>",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    docs.write.parquet(str(corpus_dir / "documents.parquet"))
+
+    out = str(tmp_path / "prep")
+    man = str(tmp_path / "man")
+    kwargs = dict(min_quality=0.2, langs=("en",), manifest_dir=man, run_id="rm")
+    s1 = run_trainprep_job(spark, str(corpus_dir), out, **kwargs)
+    assert "media_in" not in s1  # no media.parquet yet
+
+    # media arrives between runs: m3 is an exact dup of m2
+    media = spark.createDataFrame(
+        [
+            ("m1", "image", encode_fake_media("m1")),
+            ("m2", "image", encode_fake_media("m2")),
+            ("m3", "image", encode_fake_media("m2")),
+        ],
+        "media_ref string, media_type string, content binary",
+    )
+    media.write.parquet(str(corpus_dir / "media.parquet"))
+
+    s2 = run_trainprep_job(spark, str(corpus_dir), out, **kwargs)
+    assert s2["stages_skipped"] == []  # lineage changed -> full re-run
+    assert s2["media_in"] == 3 and s2["media_kept"] == 2
+    refs = {
+        r.doc_id: r.media_refs
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    assert refs[1] == ["m1", "m2"]  # m3 remapped in the rewritten corpus

@@ -95,14 +95,18 @@ def _psig_bytes(payload: bytes) -> list[int]:
 
 
 def encode_fake_media_reencode(
-    media_ref: str, media_type: str = "image", delta: int = 1
+    media_ref: str,
+    media_type: str = "image",
+    delta: int = 1,
+    target_bytes: int | None = None,
 ) -> bytes:
-    """A deterministic 're-encode' of :func:`encode_fake_media`'s item:
-    same underlying payload with every 16th byte shifted by ``delta``
-    and different container dims — DIFFERENT bytes (sha256 misses it)
-    but band means move < one quantization step, so the perceptual
-    signature stays within the L1 near-dup threshold."""
-    orig = encode_fake_media(media_ref, media_type)
+    """A deterministic 're-encode' of :func:`encode_fake_media`'s item
+    (same ``target_bytes`` sizing): same underlying payload with every
+    16th byte shifted by ``delta`` and different container dims —
+    DIFFERENT bytes (sha256 misses it) but band means move < one
+    quantization step, so the perceptual signature stays within the L1
+    near-dup threshold."""
+    orig = encode_fake_media(media_ref, media_type, target_bytes=target_bytes)
     payload = bytearray(orig[13:])
     for i in range(0, len(payload), 16):
         payload[i] = min(255, payload[i] + delta)

@@ -15,11 +15,18 @@ techniques:
   land on equal-or-adjacent signatures while distinct content lands
   far apart.
 - **Bucketing** (banded LSH, OR-amplified — same scheme as
-  ``ann_lsh_bucketed``): the signature is split into 2-value band
-  pairs; any shared (n_bands, table, v0, v1) bucket makes a candidate
-  pair. Hot buckets are salted into sub-buckets of ``PSIG_BUCKET_CAP``
-  rows by the SAME md5 row-number rule as the ANN cap, so in-bucket
-  fan-out is bounded by cap² — no quadratic corner at 100 TB.
+  ``ann_lsh_bucketed``): each of ``PSIG_TABLES`` tables keys on a
+  3-value OVERLAPPING window of the signature (starts
+  ``PSIG_TABLE_STARTS``); any shared (n_bands, table, v0, v1, v2)
+  bucket makes a candidate pair. Three values per key give a 16³
+  bucket space per table — measured at 50k media items, the original
+  2-value keys (16² space) drove every bucket past the cap and the
+  salting split 38% of true near-pairs apart (recall 0.62); 3-value
+  keys keep buckets ~9 deep at that scale with recall restored by the
+  overlapping-window OR. Hot buckets are STILL salted into sub-buckets
+  of ``PSIG_BUCKET_CAP`` rows by the SAME md5 row-number rule as the
+  ANN cap, so in-bucket fan-out stays bounded by cap² — no quadratic
+  corner at 100 TB.
 - **Verification**: L1 distance over the full signature ≤
   ``PSIG_L1_MAX`` (signatures in a shared bucket have equal length by
   construction — n_bands is part of the bucket key).
@@ -39,6 +46,17 @@ text, ref := 'm'||doc_id) so the driver's DuckDB oracle can check it
 on the standard tables; ``jobs/run_trainprep.media_stage`` applies the
 SAME core to real decoded binary payloads via the ``psig`` column that
 ``operators/multimodal.decode_media`` computes byte-wise.
+
+Precision note (measured, scripts/bench_trainprep_scale.py): like every
+aHash-family method, the signature assumes DECODED media is locally
+structured (pixel rows, PCM windows). On adversarially UNSTRUCTURED
+payloads (band values drawn uniform-random from content hashes)
+signature collisions produce a sub-percent false-merge floor — 4/3,000
+unique items (0.13%) at the 20k smoke, 241/37,500 (0.64%) at the 50k
+scale run — while recall on planted re-encodes is 100% (12,500/12,500
+collapsed at 50k). Real codec output is structured; for archival-grade
+pipelines, add a byte-level verify pass on near-pairs before
+collapsing.
 """
 
 from __future__ import annotations
@@ -50,7 +68,8 @@ from hocr_de_noising_spark.queries.util import load, register
 
 PSIG_PREFIX = 256  # payload units (bytes / chars) covered by the signature
 PSIG_BAND = 32  # units per band -> up to 8 bands
-PSIG_TABLES = 4  # LSH tables of 2 consecutive signature values each
+PSIG_TABLES = 4  # LSH tables: overlapping 3-value windows of the signature
+PSIG_TABLE_STARTS = (0, 2, 4, 5)  # 0-based window starts over 8 bands
 PSIG_BUCKET_CAP = 64  # ann_lsh_bucketed's cap/salt rule
 PSIG_L1_MAX = 4  # verified near-dup threshold on full-signature L1
 
@@ -85,23 +104,27 @@ def psig_sql_expr(payload: str, q: int = PSIG_Q_TEXT) -> str:
 def psig_near_pairs(sigs):
     """Near-dup pairs over a (media_ref string, psig array<int>) frame.
 
-    Join-free banded-LSH core: explode PSIG_TABLES 2-value bands,
-    bucket on (n_bands, tbl, v0, v1), salt hot buckets to
-    PSIG_BUCKET_CAP, generate in-bucket pairs from the grouped member
-    array with signatures inline, verify L1 <= PSIG_L1_MAX. Output:
-    (media_a, media_b, l1), deduped across tables."""
+    Join-free banded-LSH core: explode PSIG_TABLES overlapping 3-value
+    signature windows, bucket on (n_bands, tbl, v0, v1, v2), salt hot
+    buckets to PSIG_BUCKET_CAP, generate in-bucket pairs from the
+    grouped member array with signatures inline, verify
+    L1 <= PSIG_L1_MAX. Output: (media_a, media_b, l1), deduped across
+    tables."""
+    starts = F.array(*[F.lit(s) for s in PSIG_TABLE_STARTS])
     bands = (
         sigs.select(
             "media_ref",
             "psig",
-            F.explode(F.expr(f"sequence(0, {PSIG_TABLES - 1})")).alias("tbl"),
+            F.explode(starts).alias("s"),
         )
-        .filter(F.expr("2*tbl+1 <= size(psig)"))
+        .filter(F.expr("s + 1 <= size(psig)"))
+        .withColumn("tbl", F.col("s"))
         .withColumn(
             "bucket",
             F.expr(
-                "concat_ws(':', size(psig), element_at(psig, 2*tbl+1),"
-                " if(2*tbl+2 <= size(psig), element_at(psig, 2*tbl+2), -1))"
+                "concat_ws(':', size(psig), element_at(psig, s+1),"
+                " if(s+2 <= size(psig), element_at(psig, s+2), -1),"
+                " if(s+3 <= size(psig), element_at(psig, s+3), -1))"
             ),
         )
     )
@@ -158,12 +181,13 @@ sig AS (
     SELECT media_ref, {_band_sql("payload")} AS psig FROM m
 ),
 bands AS (
-    SELECT media_ref, psig, t.tbl AS tbl,
+    SELECT media_ref, psig, t.s AS tbl,
            CAST(len(psig) AS VARCHAR) || ':' ||
-           CAST(psig[2*t.tbl+1] AS VARCHAR) || ':' ||
-           CAST(coalesce(psig[2*t.tbl+2], -1) AS VARCHAR) AS bucket
-    FROM sig, (SELECT unnest(range(0, {PSIG_TABLES})) AS tbl) t
-    WHERE 2*t.tbl+1 <= len(psig)
+           CAST(psig[t.s+1] AS VARCHAR) || ':' ||
+           CAST(coalesce(psig[t.s+2], -1) AS VARCHAR) || ':' ||
+           CAST(coalesce(psig[t.s+3], -1) AS VARCHAR) AS bucket
+    FROM sig, (SELECT unnest([{", ".join(str(s) for s in PSIG_TABLE_STARTS)}]) AS s) t
+    WHERE t.s + 1 <= len(psig)
 ),
 capped AS (
     SELECT media_ref, psig, tbl, bucket,

@@ -715,3 +715,39 @@ def test_media_arrival_invalidates_resume(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
     }
     assert refs[1] == ["m1", "m2"]  # m3 remapped in the rewritten corpus
+
+
+def test_trainprep_decon_stage_resume(spark, tmp_path):
+    """VERDICT r4 item 8: the decontamination report is its own
+    manifest stage — a crash after it commits must let the restarted
+    run skip it (and everything before it) and still produce the same
+    summary counts."""
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    out = str(tmp_path / "prep")
+    man = str(tmp_path / "man")
+    kwargs = dict(
+        min_quality=0.4, langs=("en",), jaccard_threshold=0.05,
+        decontaminate=True,
+    )
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        run_trainprep_job(
+            spark, SF_DIR, out, manifest_dir=man, run_id="rd",
+            fail_after_stage="decontaminate", **kwargs,
+        )
+    s2 = run_trainprep_job(spark, SF_DIR, out, manifest_dir=man, run_id="rd", **kwargs)
+    assert "decontaminate" in s2["stages_skipped"]
+    assert "scrub_and_gates" in s2["stages_skipped"]
+    assert s2["dedup"]["stages_skipped"] == [
+        "exact", "lsh_candidates", "shingles", "jaccard_verify",
+        "components", "keepers_split",
+    ]
+    # the skipped stage's report is read from disk, so the count holds
+    s3 = run_trainprep_job(spark, SF_DIR, str(tmp_path / "prep2"), **kwargs)
+    assert s2["n_contaminated"] == s3["n_contaminated"]
+    assert s2["n_final"] == s3["n_final"]

@@ -87,12 +87,17 @@ def psig_sql_expr(payload: str, q: int = PSIG_Q_TEXT) -> str:
     """Spark SQL expression: array<int> perceptual signature of a STRING
     payload (character code points as the unit values). Integer-only:
     band value = sum(codes) div (band_len * q), identical to
-    floor(floor(mean)/q) for positive ints."""
+    floor(floor(mean)/q) for positive ints.
+
+    The prefix is split to a char array ONCE and each band slices it —
+    per-index ``substring`` calls instead cost an O(i) UTF-8 seek each,
+    O(prefix²) per doc (measured 1.42x slower at sf0.1, bit-identical
+    output)."""
     plen = f"least(length({payload}), {PSIG_PREFIX})"
     blen = f"least({PSIG_BAND}, {plen} - b * {PSIG_BAND})"
     codes = (
-        f"transform(sequence(b*{PSIG_BAND}+1, b*{PSIG_BAND}+{blen}),"
-        f" i -> ascii(substring({payload}, i, 1)))"
+        f"transform(slice(split(substring({payload}, 1, {PSIG_PREFIX}), ''),"
+        f" b*{PSIG_BAND}+1, {blen}), c -> ascii(c))"
     )
     return (
         f"transform(sequence(0, (({plen}+{PSIG_BAND - 1}) div {PSIG_BAND}) - 1),"

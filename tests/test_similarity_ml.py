@@ -42,3 +42,59 @@ def test_ivf_recall_vs_bruteforce(spark):
     # top-3 (IVF trades recall for pruning; this bounds the trade)
     recall = len(ivf & brute) / len(brute)
     assert recall >= 0.5, f"recall {recall:.2f}"
+
+
+def test_psig_near_pairs_matches_bruteforce_reference(spark):
+    """Property (randomized, seeded): on a corpus small enough that no
+    bucket hits the salting cap, psig_near_pairs must return EXACTLY
+    the pairs a brute-force reference finds — same signature length,
+    at least one matching 3-band window (with -1 padding semantics),
+    and full-signature L1 <= PSIG_L1_MAX — with the correct L1."""
+    import random
+
+    from hocr_de_noising_spark.queries.media_near import (
+        PSIG_L1_MAX,
+        PSIG_TABLE_STARTS,
+        psig_near_pairs,
+    )
+
+    rng = random.Random(7)
+    sigs = []
+    for i in range(120):
+        n = rng.choice([1, 2, 4, 7, 8, 8, 8])  # mixed lengths, mostly 8
+        base = [rng.randrange(0, 8) for _ in range(n)]
+        sigs.append((f"r{i:03d}", base))
+        if rng.random() < 0.3:  # plant a near variant
+            v = list(base)
+            for _ in range(rng.randrange(0, 3)):
+                j = rng.randrange(0, n)
+                v[j] = max(0, min(7, v[j] + rng.choice([-1, 1])))
+            sigs.append((f"r{i:03d}v", v))
+
+    def window(p, s):
+        return tuple(p[s + k] if s + k < len(p) else -1 for k in range(3))
+
+    expect = {}
+    for (ra, pa), (rb, pb) in (
+        (x, y) for x in sigs for y in sigs if x[0] < y[0]
+    ):
+        if len(pa) != len(pb):
+            continue
+        if not any(
+            s < len(pa) and window(pa, s) == window(pb, s)
+            for s in PSIG_TABLE_STARTS
+        ):
+            continue
+        l1 = sum(abs(a - b) for a, b in zip(pa, pb))
+        if l1 <= PSIG_L1_MAX:
+            expect[(ra, rb)] = l1
+
+    df = spark.createDataFrame(sigs, "media_ref string, psig array<int>")
+    got = {
+        (r.media_a, r.media_b): r.l1
+        for r in psig_near_pairs(df).collect()
+    }
+    assert got == expect, (
+        f"missing={set(expect) - set(got)} extra={set(got) - set(expect)}"
+    )
+    assert len(expect) > 10  # the fixture actually exercises the operator

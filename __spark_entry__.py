@@ -37,7 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Keys rewritten/touched after the round whose CORRECTNESS file last
 # recorded them green (update each round):
-_CHANGED_SINCE_GREEN: list[str] = []
+_CHANGED_SINCE_GREEN: list[str] = [
+    "dedup_minhash_lsh",  # r5: one-md5 + xor-mix signatures (row r3)
+    "dedup_components",  # r5: consumes the new minhash pairs (row r4)
+    "dedup_components_star",  # r5: same dependency (row r4)
+]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).
 # The 16 keys displaced by the r4 window (last green r3) lead round 5;

@@ -48,6 +48,19 @@ def dedup_exact(spark, sf):
 
 N_SEEDS, BAND_ROWS = 16, 2  # 8 bands x 2 rows
 
+# one 60-bit base hash per shingle + N_SEEDS xor-mixings replaces
+# N_SEEDS full md5 computations per shingle row (r5: md5 was ~16x the
+# map-stage CPU of the whole minhash pass; xor with per-seed random
+# constants is the standard cheap-hash-family trick and stays
+# bit-portable — conv/xor produce identical int64s in both engines).
+# 15 hex chars = 60 bits keeps every value positive in a signed int64.
+import hashlib as _hashlib
+
+MINHASH_SEEDS = [
+    int(_hashlib.md5(f"seed:{i}".encode()).hexdigest()[:15], 16)
+    for i in range(N_SEEDS)
+]
+
 _SHINGLE_SQL = """
     SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2]) AS shingle
     FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i
@@ -57,15 +70,22 @@ _SHINGLE_SQL = """
 
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLE_SQL}),
-mh AS (
-    SELECT doc_id, seed, min(md5(seed || ':' || shingle)) AS mh
-    FROM sh, (SELECT unnest(generate_series(0, {N_SEEDS - 1})) AS seed)
-    GROUP BY doc_id, seed
+hv AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+    FROM sh
+),
+sig AS (
+    SELECT doc_id,
+           {", ".join(f"min(xor(h, {c})) AS mh{i}" for i, c in enumerate(MINHASH_SEEDS))}
+    FROM hv GROUP BY doc_id
 ),
 bands AS (
-    SELECT doc_id, seed // {BAND_ROWS} AS band,
-           md5(string_agg(mh, '|' ORDER BY seed)) AS bucket
-    FROM mh GROUP BY doc_id, seed // {BAND_ROWS}
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        f"md5(CAST(mh{b * BAND_ROWS} AS VARCHAR) || '|' || CAST(mh{b * BAND_ROWS + 1} AS VARCHAR)) AS bucket "
+        f"FROM sig"
+        for b in range(N_SEEDS // BAND_ROWS)
+    )}
 ),
 reps AS (
     SELECT doc_id, min(doc_id) OVER (PARTITION BY band, bucket) AS rep
@@ -97,13 +117,15 @@ def _shingles(spark, sf, n: int = 3):
 
 @register("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark, sf):
-    """MinHash+LSH near-dup candidates: shingle → 16 md5 minhashes →
-    2-row bands → star pairing within each band bucket. md5 keeps
-    signatures engine-portable.
+    """MinHash+LSH near-dup candidates: shingle → ONE 60-bit md5-based
+    hash → 16 xor-mixed minhashes → 2-row bands → star pairing within
+    each band bucket. md5/conv/xor keep signatures engine-portable.
 
     The 16 minhashes are computed as COLUMNS of one pass over the
-    shingles (16 md5 expressions + a single groupBy with 16 min
-    aggregates) — no 16x row explosion, map-side partial min.
+    shingles (one md5 + 16 xor expressions + a single groupBy with 16
+    min aggregates) — no 16x row explosion, no 16x md5 CPU (r5: md5
+    dominated the map stage), 8-byte ints instead of 32-char strings
+    through the map-side partial min.
 
     Candidate pairs are (bucket representative = min doc_id, member):
     a hot bucket of n true duplicates emits n-1 pairs instead of the
@@ -112,11 +134,14 @@ def dedup_minhash_lsh(spark, sf):
     large-corpus MinHash trade. This also removes the self-join
     entirely: ONE window over (band, bucket) and a distinct."""
     sh = _shingles(spark, sf, 3)
-    mh_cols = [
-        F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))).alias(f"h{i}")
-        for i in range(N_SEEDS)
-    ]
-    sig = sh.select("doc_id", *mh_cols).groupBy("doc_id").agg(
+    base = F.expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)")
+    sig = sh.select(
+        "doc_id",
+        *[
+            base.bitwiseXOR(F.lit(c)).alias(f"h{i}")
+            for i, c in enumerate(MINHASH_SEEDS)
+        ],
+    ).groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_SEEDS)]
     )
     band_structs = F.array(

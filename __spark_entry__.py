@@ -41,6 +41,8 @@ _CHANGED_SINCE_GREEN: list[str] = [
     "dedup_minhash_lsh",  # r5: one-md5 + xor-mix signatures (row r3)
     "dedup_components",  # r5: consumes the new minhash pairs (row r4)
     "dedup_components_star",  # r5: same dependency (row r4)
+    "dedup_ngram_jaccard",  # r5: int64-hashed shingle keys (row r4)
+    "decontaminate_overlap",  # r5: same hashed-shingle change (row r4)
 ]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).

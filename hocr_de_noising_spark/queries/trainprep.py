@@ -221,11 +221,16 @@ JACCARD_DF_CAP = 100
 
 _JACCARD_SQL = f"""
 WITH sh0 AS ({_SHINGLE_SQL}),
+hv AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+    FROM sh0
+),
 sh AS (
     SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle,
                count(*) OVER (PARTITION BY shingle) AS df
-        FROM sh0
+        FROM hv
     ) WHERE df <= {JACCARD_DF_CAP}
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -244,8 +249,22 @@ def capped_shingles(spark, sf, n: int = 3, df_cap: int = JACCARD_DF_CAP):
     """Shingles with document frequency <= df_cap — the bounded input
     that makes the jaccard self-join safe at scale. The df filter is a
     single count window BEFORE the self-join (plan-asserted in
-    tests/test_plans.py), so the join's per-key fan-out is <= df_cap."""
-    sh = _shingles(spark, sf, n)
+    tests/test_plans.py), so the join's per-key fan-out is <= df_cap.
+
+    The ``shingle`` column is the n-gram's 60-bit md5-derived int64
+    (same conv trick as the minhash base hash, identical in DuckDB):
+    every consumer — jaccard intersection, decon leakage check, the
+    dedup job's materialized shingle stage — needs only EQUALITY of
+    shingles, and 8-byte ints through the df window + groupBy shuffles
+    beat 30-40-char strings ~4x on shuffle bytes (r5). A 60-bit
+    collision miscounting one intersection is ~n²/2^61 — negligible,
+    and the oracle computes the identical hash so bit-parity holds."""
+    sh = _shingles(spark, sf, n).select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
+        ).alias("shingle"),
+    )
     w = Window.partitionBy("shingle")
     return (
         sh.withColumn("df", F.count(F.lit(1)).over(w))
@@ -773,10 +792,15 @@ WITH sh0 AS (
           FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
                 WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5))
 ),
+hv AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS shingle
+    FROM sh0
+),
 sh AS (
     SELECT doc_id, shingle FROM (
         SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df
-        FROM sh0) WHERE df <= {JACCARD_DF_CAP}
+        FROM hv) WHERE df <= {JACCARD_DF_CAP}
 ),
 sp AS (
     SELECT doc_id, shingle,

@@ -53,3 +53,48 @@ def test_variants_agree_on_fresh_seeds(spark, seed, mode):
     bad = j.filter(~F.col("a.spans").eqNullSafe(F.col("b.spans")))
     rows = bad.limit(1).collect()
     assert not rows, f"variant divergence: {rows[0]}"
+
+
+def test_media_near_random_corpora_match_duckdb(spark, tmp_path):
+    """Randomized differential (seeded): dedup_media_near must match
+    DuckDB bit-for-bit on corpora with random lengths, repeated
+    prefixes (forcing near pairs), and random word soup — breadth
+    beyond the fixed adversarial strings."""
+    import random
+
+    import duckdb
+
+    from hocr_de_noising_spark.queries import QUERIES
+
+    rng = random.Random(99)
+    words = ["the", "keeper", "evening", "tide", "letters", "embers",
+             "green", "seven", "weaver", "x"]
+    rows = []
+    doc_id = 0
+    for _ in range(150):
+        n = rng.randint(1, 120)
+        text = " ".join(rng.choice(words) for _ in range(n))
+        rows.append((doc_id, text)); doc_id += 1
+        if rng.random() < 0.25:  # near variant: shared long prefix
+            tail = " ".join(rng.choice(words) for _ in range(rng.randint(0, 10)))
+            rows.append((doc_id, (text + " " + tail).strip())); doc_id += 1
+    sdir = tmp_path / "rand"
+    sdir.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "rnd", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(sdir / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sdir}/documents.parquet/*.parquet'"
+    )
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["dedup_media_near"]["fn"](spark, str(sdir)).collect()
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(QUERIES["dedup_media_near"]["sql"]).fetchall()
+    )
+    assert got == want
+    assert len(got) > 0  # prefix plants must actually produce pairs

@@ -237,7 +237,7 @@ def main() -> None:
     identical = a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
     res = {
-        "metric": "trainprep 500k-scale wall clock (media+decon+near)",
+        "metric": "trainprep at-scale wall clock (media+decon+near)",
         "value": round(wall_a, 1),
         "unit": "sec",
         "docs": args.docs,

@@ -37,45 +37,38 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Keys rewritten/touched after the round whose CORRECTNESS file last
 # recorded them green (update each round):
-_CHANGED_SINCE_GREEN: list[str] = [
-    "dedup_minhash_lsh",  # r5: one-md5 + xor-mix signatures (row r3)
-    "dedup_components",  # r5: consumes the new minhash pairs (row r4)
-    "dedup_components_star",  # r5: same dependency (row r4)
-    "dedup_ngram_jaccard",  # r5: int64-hashed shingle keys (row r4)
-    "decontaminate_overlap",  # r5: same hashed-shingle change (row r4)
-]
+_CHANGED_SINCE_GREEN: list[str] = []
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).
-# The 16 keys displaced by the r4 window (last green r3) lead round 5;
+# The 17 keys displaced by the r5 window (last green r4) lead round 6;
 # never-verified keys (e.g. new this round) sort before them at 0.
 _LAST_GREEN = dict.fromkeys(
     [
-        "agg_approx_percentile", "agg_denoise_rate", "dedup_minhash_lsh",
-        "dedup_simhash", "garbage_ratio", "geom_outliers", "join_full",
-        "knn_bruteforce", "longs_normalize", "margin_envelope",
-        "reading_order", "scalar_xml", "tpch_q3", "udaf_mad",
-        "wconf_filter", "window_range_frame",
-    ],
-    3,
-) | dict.fromkeys(
-    [
-        "agg_approx_distinct", "agg_cube", "agg_dedup_first",
-        "agg_distinct", "agg_grouping_sets", "agg_percentile",
-        "agg_rollup", "ann_ivf", "ann_lsh_bucketed",
-        "decontaminate_overlap", "dedup_components",
-        "dedup_components_star", "dedup_embed_cosine", "dedup_exact",
-        "dedup_ngram_jaccard", "dict_join", "doc_fingerprint",
-        "explode_spans", "join_anti", "join_asof", "join_broadcast",
-        "join_inner", "join_left", "join_range", "join_semi",
-        "lag_lead", "lang_id", "project_filter", "quality_repetition",
-        "quality_score", "sample_split", "scalar_array", "scalar_date",
-        "scalar_json", "scalar_math", "scalar_string", "scan_lineitem",
-        "set_except", "set_intersect", "set_union", "sort_multikey",
-        "stream_session", "stream_tumbling", "text_scrub", "token_count",
-        "topk_noisy", "tpch_q1", "window_ntile", "window_rank",
-        "window_running_sum",
+        "agg_cube", "ann_ivf", "ann_lsh_bucketed", "dedup_embed_cosine",
+        "dedup_exact", "dict_join", "doc_fingerprint", "lang_id",
+        "quality_repetition", "quality_score", "sample_split",
+        "scalar_math", "stream_session", "stream_tumbling", "text_scrub",
+        "token_count", "window_ntile",
     ],
     4,
+) | dict.fromkeys(
+    [
+        "agg_approx_distinct", "agg_approx_percentile", "agg_dedup_first",
+        "agg_denoise_rate", "agg_distinct", "agg_grouping_sets",
+        "agg_percentile", "agg_rollup", "decontaminate_overlap",
+        "dedup_components", "dedup_components_star", "dedup_media_near",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+        "explode_spans", "garbage_ratio", "geom_outliers", "join_anti",
+        "join_asof", "join_broadcast", "join_full", "join_inner",
+        "join_left", "join_range", "join_semi", "knn_bruteforce",
+        "lag_lead", "longs_normalize", "margin_envelope", "project_filter",
+        "reading_order", "scalar_array", "scalar_date", "scalar_json",
+        "scalar_string", "scalar_xml", "scan_lineitem", "set_except",
+        "set_intersect", "set_union", "sort_multikey", "topk_noisy",
+        "tpch_q1", "tpch_q3", "udaf_mad", "wconf_filter",
+        "window_range_frame", "window_rank", "window_running_sum",
+    ],
+    5,
 )
 
 

@@ -162,7 +162,7 @@ def main() -> None:
         # section is used for both legs, so JVM startup/warmup cancels.
         bdir = tempfile.mkdtemp(prefix="scaleout-barrier-")
         p = run_worker(full, lex_path, args.cores, f"0-{args.cores - 1}", bdir, "a0")
-        _release(bdir, 1, [p])
+        _release(bdir, 1, [p], ids=["a0"])
         out, _ = p.communicate(timeout=1800)
         assert p.returncode == 0, out[-2000:]
         t_one = float(out.strip().split()[-1])
@@ -178,7 +178,8 @@ def main() -> None:
             cs = f"{i * args.cores}-{(i + 1) * args.cores - 1}"
             procs.append(run_worker(os.path.join(q, "docs.parquet"), lex_path,
                                     args.cores, cs, bdir, f"b{i}"))
-        _release(bdir, len(quarters), procs)
+        _release(bdir, len(quarters), procs,
+                 ids=[f"b{i}" for i in range(len(quarters))])
         for p in procs:
             out, _ = p.communicate(timeout=1800)
             assert p.returncode == 0 and "WORKER_SEC" in out, out[-2000:]

@@ -62,7 +62,8 @@ def run_level(n_procs: int, mb: int, passes: int) -> float:
                str(mb), str(passes), bdir, str(i)]
         procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE,
                                       stderr=subprocess.DEVNULL, text=True))
-    _release(bdir, n_procs, procs, timeout_s=120.0)
+    _release(bdir, n_procs, procs, timeout_s=120.0,
+             ids=[str(i) for i in range(n_procs)])
     secs = []
     for p in procs:
         out, _ = p.communicate(timeout=600)

@@ -27,9 +27,15 @@ while not os.path.exists(os.path.join(barrier_dir, "go")):
 """
 
 
-def release(barrier_dir: str, n: int, procs, timeout_s: float = 600.0) -> None:
+def release(
+    barrier_dir: str, n: int, procs, timeout_s: float = 600.0, ids=None
+) -> None:
     """Wait for n ready files then write the go-file. On timeout, kill
-    every process in ``procs`` first so no pinned orphan survives."""
+    every process in ``procs`` first so no pinned orphan survives.
+
+    ``ids`` (optional) aligns each proc with its worker id so a dead
+    child can be checked EXACTLY for having gone ready; without ids the
+    check is count-conservative (see inline comment)."""
     def _kill_all():
         for p in procs:
             try:
@@ -44,14 +50,34 @@ def release(barrier_dir: str, n: int, procs, timeout_s: float = 600.0) -> None:
             break
         # fail fast on a dead child (ADVICE r4): a worker that exits
         # before writing its ready file can never satisfy the barrier,
-        # so don't burn the full timeout before cleaning up
-        dead = [p for p in procs if p.poll() is not None]
-        if dead:
-            _kill_all()
-            raise RuntimeError(
-                f"barrier worker died pre-ready (rc={dead[0].returncode}); "
-                f"{len(ready)}/{n} ready"
-            )
+        # so don't burn the full timeout before cleaning up. ADVICE r5
+        # race: a worker may exit (or crash) just AFTER writing its
+        # ready file while peers are still arriving — that death does
+        # not doom the barrier, so re-list the ready files after
+        # observing it and only abort on a death that is provably
+        # pre-ready: with ids, a dead child whose own ready file is
+        # absent; without ids, more dead children than could possibly
+        # all be post-ready (len(dead) > len(ready)).
+        dead_idx = [i for i, p in enumerate(procs) if p.poll() is not None]
+        if dead_idx:
+            ready = {
+                f for f in os.listdir(barrier_dir) if f.startswith("ready-")
+            }
+            if len(ready) >= n:
+                break
+            if ids is not None:
+                doomed = [
+                    i for i in dead_idx if f"ready-{ids[i]}" not in ready
+                ]
+            else:
+                doomed = dead_idx if len(dead_idx) > len(ready) else []
+            if doomed:
+                _kill_all()
+                raise RuntimeError(
+                    f"barrier worker died pre-ready "
+                    f"(rc={procs[doomed[0]].returncode}); "
+                    f"{len(ready)}/{n} ready"
+                )
         if time.time() - t0 > timeout_s:
             _kill_all()
             raise RuntimeError(f"barrier timeout: {len(ready)}/{n} ready")

@@ -662,6 +662,69 @@ def test_barrier_fails_fast_on_dead_child(tmp_path):
     assert getattr(dead, "killed", False)
 
 
+def test_barrier_tolerates_post_ready_death(tmp_path):
+    """ADVICE r5: a worker that exits just AFTER writing its ready file
+    while peers are still arriving must NOT abort the barrier — the
+    barrier releases once the straggler goes ready."""
+    import sys
+    import threading
+    import time as _time
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from proc_barrier import release
+
+    class _DeadProc:
+        returncode = 0
+
+        def poll(self):
+            return 0
+
+        def kill(self):
+            self.killed = True
+
+    class _LiveProc:
+        returncode = None
+
+        def poll(self):
+            return None
+
+        def kill(self):
+            self.killed = True
+
+    bdir = str(tmp_path / "b")
+    os.makedirs(bdir)
+    # worker w0 went ready, then exited; w1 arrives 0.5 s later
+    open(os.path.join(bdir, "ready-w0"), "w").write("ok")
+    dead, live = _DeadProc(), _LiveProc()
+
+    def _late_ready():
+        _time.sleep(0.5)
+        open(os.path.join(bdir, "ready-w1"), "w").write("ok")
+
+    t = threading.Thread(target=_late_ready)
+    t.start()
+    release(bdir, 2, [dead, live], timeout_s=30.0, ids=["w0", "w1"])
+    t.join()
+    assert os.path.exists(os.path.join(bdir, "go"))
+    assert not getattr(dead, "killed", False)
+
+    # and WITHOUT ids the count-conservative path also tolerates it
+    bdir2 = str(tmp_path / "b2")
+    os.makedirs(bdir2)
+    open(os.path.join(bdir2, "ready-w0"), "w").write("ok")
+    dead2, live2 = _DeadProc(), _LiveProc()
+
+    def _late_ready2():
+        _time.sleep(0.5)
+        open(os.path.join(bdir2, "ready-w1"), "w").write("ok")
+
+    t2 = threading.Thread(target=_late_ready2)
+    t2.start()
+    release(bdir2, 2, [dead2, live2], timeout_s=30.0)
+    t2.join()
+    assert os.path.exists(os.path.join(bdir2, "go"))
+
+
 def test_media_arrival_invalidates_resume(spark, tmp_path):
     """ADVICE r4: media.parquet appearing between resumed runs of the
     same run_id must invalidate every committed stage (has_media is in

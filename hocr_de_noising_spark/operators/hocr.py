@@ -272,8 +272,25 @@ def parse_hocr_jvm(
     def chunk(j):  # 1-based chunk j
         return F.element_at("c", j + F.lit(1))
 
-    def cum_before(counts, j):  # sum of counts[0..j-1] (slice is 1-based)
-        return F.aggregate(F.slice(counts, 1, j), F.lit(0), lambda a, x: a + x)
+    def let(value, body):
+        """Bind a per-row expression ONCE (HOF let-binding). Catalyst's
+        CollapseProject re-inlines single-use aliases into downstream
+        lambda bodies, where they are re-evaluated PER ARRAY ELEMENT —
+        the r5 form's per-j aggregate-over-slice re-split every chunk
+        for every line, ~2.5 s of the 8k-page bench. A 1-element array
+        + transform introduces a NamedLambdaVariable the optimizer
+        cannot inline through, so ``value`` is computed exactly once
+        per row regardless of projection collapsing."""
+        return F.element_at(F.transform(F.array(value), body), 1)
+
+    def cum(counts):
+        """Prefix-sum array in ONE pass: cum[k+1] = counts[1..k] summed
+        (so sum of the first j elements = element_at(cum, j+1))."""
+        return F.aggregate(
+            counts,
+            F.array(F.lit(0)),
+            lambda acc, x: F.array_append(acc, F.element_at(acc, -1) + x),
+        )
 
     nc = F.transform("c", lambda ch: F.size(F.split(ch, r"""<div class=["']ocr_carea""")) - 1)
     np_ = F.transform("c", lambda ch: F.size(F.split(ch, r"""<p class=["']ocr_par""")) - 1)
@@ -282,8 +299,18 @@ def parse_hocr_jvm(
         "c",
         "idx",
         # markers OPENED in chunks before j apply to line chunk j
-        F.transform("idx", lambda j: cum_before(nc, j) - 1).alias("careas"),
-        F.transform("idx", lambda j: cum_before(np_, j) - 1).alias("pars"),
+        let(
+            cum(nc),
+            lambda cm: F.transform(
+                "idx", lambda j: F.element_at(cm, j + 1) - 1
+            ),
+        ).alias("careas"),
+        let(
+            cum(np_),
+            lambda cm: F.transform(
+                "idx", lambda j: F.element_at(cm, j + 1) - 1
+            ),
+        ).alias("pars"),
         F.transform("idx", lambda j: F.regexp_extract_all(chunk(j), F.lit(_WORD_RE), 0)).alias(
             "wtags"
         ),
@@ -291,15 +318,12 @@ def parse_hocr_jvm(
         F.transform("idx", lambda j: F.regexp_extract(chunk(j), _LINE_META_RE, 2)).alias("bbs"),
         F.transform("idx", lambda j: F.regexp_extract(chunk(j), _LINE_META_RE, 3)).alias("xss"),
     )
-    page = page.withColumn("wc", F.transform("wtags", F.size))
     # par_id = par counter minus its value at the carea's first chunk;
     # line_id = position within the par (par counter is globally
     # monotone, so array_position finds each group's first chunk).
-    # The aggregate-over-slice prefix sums are O(L²) in line count per
-    # page — trivial at real page sizes (~40 lines → ~1.6k int adds)
-    # and bounded by the router (giant pathological pages are not
-    # Tesseract-shaped); wc is hoisted so the slice source is computed
-    # once per page, not once per element (r3 review).
+    # array_position over int arrays is O(L²) native comparisons per
+    # page (~40 lines → trivial); the prefix sums are the single-pass
+    # cum arrays above.
     page = page.select(
         doc_col,
         "wtags",
@@ -316,11 +340,9 @@ def parse_hocr_jvm(
             "idx",
             lambda j: j - F.array_position("pars", F.element_at("pars", j)).cast("int"),
         ).alias("line_ids"),
-        F.transform(
-            "idx",
-            lambda j: F.aggregate(
-                F.slice("wc", 1, j - 1), F.lit(0), lambda a, x: a + x
-            ),
+        let(
+            cum(F.transform("wtags", F.size)),
+            lambda cm: F.transform("idx", lambda j: F.element_at(cm, j)),
         ).alias("order_base"),
         # NB: sequence(1, 0) yields the DESCENDING [1, 0], not an empty
         # array — a word-less page must short-circuit here or the
@@ -329,7 +351,6 @@ def parse_hocr_jvm(
         .otherwise(F.expr("array()").cast("array<int>"))
         .alias("jdx"),
     )
-    g = {name: i + 1 for i, name in enumerate(["x0", "y0", "x1", "y1", "wconf", "token"])}
     word_structs = F.flatten(
         F.transform(
             F.col("jdx"),
@@ -350,6 +371,37 @@ def parse_hocr_jvm(
         )
     )
     words = page.select(doc_col, F.explode(word_structs).alias("w"))
+    # Field extraction via cheap string ops instead of re-executing the
+    # full _WORD_RE once per field (r6: six regex executions per word
+    # were ~60% of the fast path's CPU). Every wtag is an EXACT
+    # _WORD_RE match produced by regexp_extract_all above, so its shape
+    # is pinned: no '>' can occur before the tag close (all attr
+    # segments are [^>]* and the title content is digits/'; x_wconf'),
+    # the tag ends '>token</span>' with token '<'-free, and the title
+    # content contains no quotes. Hence:
+    #   p     = first '>'            → the tag close, exactly
+    #   token = (p, len-7]           → regex group 6, exactly
+    #   rest  = after LAST 'bbox ' in the attr region — the regex's own
+    #           greedy backtracking also binds the LAST title= pattern,
+    #           so last-occurrence semantics match the regex
+    #   title = rest up to the first quote of either style
+    # The one divergence class vs the regex (a stray 'bbox ' in a
+    # post-title attribute value) is pathological non-Tesseract markup
+    # and sits in the same already-documented ambiguity class as the
+    # regex-vs-HTMLParser duplicate-attribute resolution — real
+    # malformed input is routed to the tolerant parser by the probe.
+    head = F.expr("substring(w.wtag, 1, instr(w.wtag, '>') - 1)")
+    token_raw = F.expr(
+        "substring(w.wtag, instr(w.wtag, '>') + 1,"
+        " length(w.wtag) - instr(w.wtag, '>') - 7)"
+    )
+    title = F.substring_index(
+        F.substring_index(F.substring_index(head, "bbox ", -1), "'", 1),
+        '"',
+        1,
+    )
+    parts = F.split(F.replace(title, F.lit(";"), F.lit("")), " ")
+    geom = {"x0": 1, "y0": 2, "x1": 3, "y1": 4, "wconf": 6}
     return words.select(
         doc_col,
         F.col("w.carea_id").cast("int").alias("carea_id"),
@@ -358,15 +410,11 @@ def parse_hocr_jvm(
         F.col("w.word_id").cast("int").alias("word_id"),
         F.col("w.order").cast("int").alias("order"),
         _decode_entities(
-            F.regexp_replace(
-                F.regexp_extract("w.wtag", _WORD_RE, g["token"]),
-                _PY_STRIP_RE,
-                "",
-            )
+            F.regexp_replace(token_raw, _PY_STRIP_RE, "")
         ).alias("token"),
         *[
-            F.regexp_extract("w.wtag", _WORD_RE, g[n]).cast("int").alias(n)
-            for n in ("x0", "y0", "x1", "y1", "wconf")
+            F.element_at(parts, i).cast("int").alias(n)
+            for n, i in geom.items()
         ],
         F.nullif("w.ba", F.lit("")).cast("double").alias("baseline_a"),
         F.nullif("w.bb", F.lit("")).cast("double").alias("baseline_b"),

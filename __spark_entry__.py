@@ -37,7 +37,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Keys rewritten/touched after the round whose CORRECTNESS file last
 # recorded them green (update each round):
-_CHANGED_SINCE_GREEN: list[str] = []
+_CHANGED_SINCE_GREEN: list[str] = [
+    "decontaminate_overlap",  # r6: fused-window rewrite + xxhash64 keys
+    "dedup_ngram_jaccard",  # r6: capped_shingles xxhash64 keys
+]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).
 # The 17 keys displaced by the r5 window (last green r4) lead round 6;

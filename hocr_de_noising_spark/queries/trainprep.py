@@ -251,19 +251,20 @@ def capped_shingles(spark, sf, n: int = 3, df_cap: int = JACCARD_DF_CAP):
     single count window BEFORE the self-join (plan-asserted in
     tests/test_plans.py), so the join's per-key fan-out is <= df_cap.
 
-    The ``shingle`` column is the n-gram's 60-bit md5-derived int64
-    (same conv trick as the minhash base hash, identical in DuckDB):
-    every consumer — jaccard intersection, decon leakage check, the
-    dedup job's materialized shingle stage — needs only EQUALITY of
-    shingles, and 8-byte ints through the df window + groupBy shuffles
-    beat 30-40-char strings ~4x on shuffle bytes (r5). A 60-bit
-    collision miscounting one intersection is ~n²/2^61 — negligible,
-    and the oracle computes the identical hash so bit-parity holds."""
+    The ``shingle`` column is the n-gram's xxhash64 int64: every
+    consumer — jaccard intersection, decon leakage check, the dedup
+    job's materialized shingle stage — needs only EQUALITY of
+    shingles (no hash value ever reaches an output), and 8-byte ints
+    through the df window + groupBy shuffles beat 30-40-char strings
+    ~4x on shuffle bytes (r5). r6: xxhash64 replaces the md5+conv
+    trick — the crypto hash was 4.1 s of the 13.1 s map side at 1M
+    docs, and cross-engine VALUE parity is not needed here (unlike
+    minhash, whose output pairs depend on hash ordering): the DuckDB
+    oracle keeps its own deterministic 60-bit md5 hash, and the
+    compared outputs (counts, jaccards, flags) are hash-function-
+    independent up to collisions, ~n²/2^64 ≈ 10⁻⁶ at oracle scale."""
     sh = _shingles(spark, sf, n).select(
-        "doc_id",
-        F.expr(
-            "cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
-        ).alias("shingle"),
+        "doc_id", F.xxhash64("shingle").alias("shingle")
     )
     w = Window.partitionBy("shingle")
     return (
@@ -817,48 +818,64 @@ GROUP BY e.doc_id, e.split
 """
 
 
-def decon_overlap(spark, sf, keep=None):
+def decon_overlap(spark, sf, keep=None, broadcast_keep=True):
     """Core of the decontamination check; ``keep`` optionally restricts
     BOTH sides to a surviving-doc set (a (doc_id) DataFrame) — the
     composed job passes the dedup keepers so that neither a removed
     train doc can raise a false leakage flag nor a removed eval doc
     clutter the report (r4 review).
 
-    Join-free shape (same trick as dedup_ngram_jaccard): a train-side
-    self-join would re-execute the whole shingle subtree (scan +
-    shingle shuffle) a second time — Catalyst does not share plan
-    subtrees. Instead ONE groupBy per shingle collects the eval docs
-    in-array (bounded by the df cap) plus a has-train flag, and the
-    per-shingle eval lists explode back out. One scan, and the
-    per-shingle groupBy reuses the df-cap window's hashpartitioning —
-    two exchanges total (plan-asserted)."""
-    sh = capped_shingles(spark, sf, 5)
-    if keep is not None:
-        sh = sh.join(keep.select("doc_id"), "doc_id")
+    Join-free fused-window shape (r6 rewrite of the r4 groupBy form —
+    decon was 42 s of the 157 s 1M-doc trainprep run): a train-side
+    self-join would re-execute the whole shingle subtree a second time
+    (Catalyst does not share plan subtrees), and the previous
+    per-shingle collect_list groupBy paid an ObjectHashAggregate plus
+    an explode over every surviving shingle row. Instead the df-cap
+    count and the has-kept-train flag are BOTH computed by the SAME
+    window spec — one WindowExec, one (shingle) exchange — and the
+    surviving kept eval rows go straight to the final (doc_id, split)
+    count. One scan, two exchanges total (plan-asserted). The keeper
+    restriction rides as a broadcast-left-join FLAG (map-side, ~16 MB
+    per 1M keeper ids) so the df count stays defined over the FULL
+    corpus while has_train/eval rows see only keepers — identical
+    output to the r4 inner-join-then-groupBy form, without re-
+    exchanging the shingle table by doc_id (``broadcast_keep=False``
+    is the >100M-keeper escape hatch; it falls back to a shuffle
+    join)."""
+    sh = _shingles(spark, sf, 5).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    sp = sh.withColumn(
+    sh = sh.withColumn(
         "split",
         F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test"),
     )
-    per_shingle = (
-        sp.groupBy("shingle")
-        .agg(
-            F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
-                "has_train"
-            ),
-            # collect_list drops nulls → evals holds only non-train docs;
-            # its length is bounded by the shingle df cap
-            F.collect_list(
-                F.when(
-                    F.col("split") != "train", F.struct("doc_id", "split")
-                )
-            ).alias("evals"),
+    if keep is not None:
+        keep_side = keep.select("doc_id").withColumn("kept", F.lit(True))
+        if broadcast_keep:
+            keep_side = F.broadcast(keep_side)
+        sh = sh.join(keep_side, "doc_id", "left").withColumn(
+            "kept", F.coalesce("kept", F.lit(False))
         )
-        .filter("has_train = 1")
+    else:
+        sh = sh.withColumn("kept", F.lit(True))
+    w = Window.partitionBy("shingle")
+    ann = sh.select(
+        "doc_id",
+        "split",
+        "kept",
+        F.count(F.lit(1)).over(w).alias("df"),
+        F.max(
+            F.when(F.col("kept") & (F.col("split") == "train"), 1).otherwise(0)
+        ).over(w).alias("has_train"),
     )
     return (
-        per_shingle.select(F.explode("evals").alias("e"))
-        .select("e.doc_id", "e.split")
+        ann.filter(
+            (F.col("df") <= JACCARD_DF_CAP)
+            & (F.col("has_train") == 1)
+            & F.col("kept")
+            & (F.col("split") != "train")
+        )
         .groupBy("doc_id", "split")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )

@@ -64,6 +64,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from hocr_de_noising_spark.operators.multimodal import VSIG_SUM_TOL_PER_BAND
 from hocr_de_noising_spark.queries.util import load, register
 
 PSIG_PREFIX = 256  # payload units (bytes / chars) covered by the signature
@@ -114,12 +115,25 @@ def psig_near_pairs(sigs):
     buckets to PSIG_BUCKET_CAP, generate in-bucket pairs from the
     grouped member array with signatures inline, verify
     L1 <= PSIG_L1_MAX. Output: (media_a, media_b, l1), deduped across
-    tables."""
+    tables.
+
+    If ``sigs`` carries a ``vsig`` column (the fine unquantized
+    band-sum signature ``operators/multimodal.decode_media`` emits),
+    every candidate pair is ADDITIONALLY gated on the byte-derived
+    verify chain (VERDICT r5 item 4): per-band |sum diff| over the
+    common prefix bands must stay within VSIG_SUM_TOL_PER_BAND. A
+    genuine re-encode drifts each band sum by <= band_len * delta and
+    passes; an unrelated payload that collides in the coarse 16³
+    bucket space (the measured density-dependent false-merge floor)
+    fails with overwhelming probability. The vsig rides the same
+    collect_list as the psig — still join-free, same plan shape."""
+    verify = "vsig" in sigs.columns
     starts = F.array(*[F.lit(s) for s in PSIG_TABLE_STARTS])
     bands = (
         sigs.select(
             "media_ref",
             "psig",
+            *(["vsig"] if verify else []),
             F.explode(starts).alias("s"),
         )
         .filter(F.expr("s + 1 <= size(psig)"))
@@ -137,9 +151,10 @@ def psig_near_pairs(sigs):
     capped = bands.withColumn(
         "sub", F.floor((F.row_number().over(w) - 1) / PSIG_BUCKET_CAP)
     )
-    return (
+    member = F.struct("media_ref", "psig", *(["vsig"] if verify else []))
+    pairs = (
         capped.groupBy("tbl", "bucket", "sub")
-        .agg(F.collect_list(F.struct("media_ref", "psig")).alias("ms"))
+        .agg(F.collect_list(member).alias("ms"))
         .select(
             F.explode(
                 F.expr(
@@ -149,7 +164,21 @@ def psig_near_pairs(sigs):
                 )
             ).alias("p")
         )
-        .select(
+    )
+    if verify:
+        # common-prefix bands only (slice to the shorter vsig): the
+        # coarse bucket already pins the 256-byte-prefix band count,
+        # but payload lengths may differ past it
+        pairs = pairs.filter(
+            F.expr(
+                "forall(zip_with("
+                " slice(p.a.vsig, 1, least(size(p.a.vsig), size(p.b.vsig))),"
+                " slice(p.b.vsig, 1, least(size(p.a.vsig), size(p.b.vsig))),"
+                f" (x, y) -> abs(x - y) <= {VSIG_SUM_TOL_PER_BAND}), v -> v)"
+            )
+        )
+    return (
+        pairs.select(
             F.col("p.a.media_ref").alias("media_a"),
             F.col("p.b.media_ref").alias("media_b"),
             F.expr(

@@ -94,7 +94,8 @@ def gate_stage(docs, min_quality: float, langs: tuple[str, ...]):
     )
 
 
-def media_stage(spark, media, media_out_dir: str, near_dedup: bool = False) -> dict:
+def media_stage(spark, media, media_out_dir: str, near_dedup: bool = False,
+                verify_bytes: bool = False) -> dict:
     """Media dedup over opaque binary content: fake-codec decode
     (``operators/multimodal.decode_media`` — the Arrow-batched stage a
     real codec would replace) → sha256 digest → canonical ref = min
@@ -154,7 +155,12 @@ def media_stage(spark, media, media_out_dir: str, near_dedup: bool = False) -> d
             decoded.filter("decode_ok")
             .join(canon.select(F.col("canonical_ref").alias("media_ref")), "media_ref")
             .filter(F.size("psig") > 0)
-            .select("media_ref", "psig")
+            # verify_bytes (VERDICT r5 item 4): carry the fine
+            # unquantized band-sum signature so psig_near_pairs gates
+            # every candidate pair on the byte-derived verify chain —
+            # planted psig collisions between unrelated payloads are
+            # blocked instead of false-merged
+            .select("media_ref", "psig", *(["vsig"] if verify_bytes else []))
         )
         pairs = psig_near_pairs(sigs).select(
             F.col("media_a").alias("doc_a"), F.col("media_b").alias("doc_b")
@@ -227,6 +233,7 @@ def run_trainprep_job(
     decontaminate: bool = False,
     components_algorithm: str = "propagate",
     media_near_dedup: bool = False,
+    media_verify_bytes: bool = False,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -259,6 +266,7 @@ def run_trainprep_job(
         has_media=has_media,
         decontaminate=decontaminate,
         media_near_dedup=media_near_dedup,
+        media_verify_bytes=media_verify_bytes,
     )
     sr = StageRunner(
         StageManifest(manifest_dir) if manifest_dir else None,
@@ -342,6 +350,7 @@ def run_trainprep_job(
                 spark.read.parquet(media_path),
                 media_out,
                 near_dedup=media_near_dedup,
+                verify_bytes=media_verify_bytes,
             ),
             lambda: n_of(os.path.join(media_out, "meta")),
         )
@@ -414,6 +423,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--components-algorithm", default="propagate",
                     choices=("propagate", "star"),
                     help="star = O(log n) rounds at any graph diameter")
+    ap.add_argument("--media-verify-bytes", action="store_true",
+                    help="gate near-dup collapse on the fine band-sum "
+                         "verify signature (blocks coarse-psig false merges)")
     ap.add_argument("--media-near-dedup", action="store_true",
                     help="also collapse perceptual near-duplicate media "
                          "(re-encoded copies the byte hash misses)")
@@ -431,6 +443,7 @@ def main(argv: list[str] | None = None) -> None:
         decontaminate=args.decontaminate,
         components_algorithm=args.components_algorithm,
         media_near_dedup=args.media_near_dedup,
+        media_verify_bytes=args.media_verify_bytes,
     )
     print(summary)
     spark.stop()

@@ -100,12 +100,16 @@ def main() -> None:
            "cores": args.cores, "unique_planted": n_unique,
            "exact_dups_planted": n_dup, "near_dups_planted": n_near,
            "gen_cached_sec": gen_sec}
-    for mode, near in (("exact", False), ("near", True)):
+    for mode, near, vb in (
+        ("exact", False, False),
+        ("near", True, False),
+        ("near_verify", True, True),
+    ):
         out = os.path.join(CACHE, f"media_near_out_{mode}")
         if os.path.exists(out):
             shutil.rmtree(out)
         t0 = time.time()
-        s = media_stage(spark, media, out, near_dedup=near)
+        s = media_stage(spark, media, out, near_dedup=near, verify_bytes=vb)
         wall = time.time() - t0
         res[mode] = {
             "wall_sec": round(wall, 2),
@@ -126,7 +130,9 @@ def main() -> None:
             f"local[{args.cores}]): exact {res['exact']['wall_sec']} s "
             f"({res['exact']['rows_per_sec']} rows/s, kept {res['exact']['kept']}), "
             f"near {res['near']['wall_sec']} s ({res['near']['rows_per_sec']} rows/s, "
-            f"kept {res['near']['kept']}); planted {n_unique} unique + {n_dup} exact "
+            f"kept {res['near']['kept']}), near+verify_bytes "
+            f"{res['near_verify']['wall_sec']} s (kept "
+            f"{res['near_verify']['kept']}); planted {n_unique} unique + {n_dup} exact "
             f"+ {n_near} re-encodes\n"
         )
     spark.stop()

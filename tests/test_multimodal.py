@@ -220,6 +220,81 @@ def test_media_stage_near_dedup_collapses_reencodes(spark, tmp_path):
     assert kept == {"m1", "m2", "m9"}
 
 
+def test_media_verify_bytes_blocks_planted_collision(spark, tmp_path):
+    """VERDICT r5 item 4: a planted coarse-signature COLLISION between
+    unrelated payloads (the density-dependent false-merge floor) must
+    be blocked by verify_bytes=True while a genuine re-encode still
+    collapses; without the verify gate the collision false-merges."""
+    import struct
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import media_stage
+
+    from hocr_de_noising_spark.operators.multimodal import (
+        _MAGIC,
+        _psig_bytes,
+        _vsig_bytes,
+    )
+
+    def container(payload: bytes) -> bytes:
+        return _MAGIC + b"I" + struct.pack(">ii", 10, 10) + payload
+
+    # A: 4096 bytes of constant 100. B: per 32-byte psig band, 16 bytes
+    # of 50 then 16 bytes of 150 — SAME 32-byte band means (psig
+    # collides) but 16-byte band sums differ by 800 (vsig catches it).
+    # A': true re-encode of A — every 16th byte +1 (vsig drifts by 1
+    # per band, within tolerance; psig unchanged).
+    a = bytes([100]) * 4096
+    b = (bytes([50]) * 16 + bytes([150]) * 16) * 128
+    a2 = bytearray(a)
+    for i in range(0, len(a2), 16):
+        a2[i] += 1
+    a2 = bytes(a2)
+    assert _psig_bytes(a) == _psig_bytes(b) == _psig_bytes(a2)
+    assert _vsig_bytes(a) != _vsig_bytes(b)
+
+    media = spark.createDataFrame(
+        [
+            ("ma", "image", container(a)),
+            ("mb", "image", container(b)),  # planted collision vs ma
+            ("mc", "image", container(a2)),  # true re-encode of ma
+        ],
+        "media_ref string, media_type string, content binary",
+    )
+
+    # without the verify gate: the collision false-merges everything
+    s_no = media_stage(
+        spark, media, str(tmp_path / "noverify"), near_dedup=True
+    )
+    no_map = {
+        r.media_ref: r.canonical_ref
+        for r in spark.read.parquet(
+            str(tmp_path / "noverify" / "ref_map")
+        ).collect()
+    }
+    assert no_map["mb"] == "ma"  # the false merge the gate must block
+    assert s_no["media_kept"] == 1
+
+    # with verify_bytes: re-encode still collapses, collision blocked
+    s_v = media_stage(
+        spark,
+        media,
+        str(tmp_path / "verify"),
+        near_dedup=True,
+        verify_bytes=True,
+    )
+    v_map = {
+        r.media_ref: r.canonical_ref
+        for r in spark.read.parquet(
+            str(tmp_path / "verify" / "ref_map")
+        ).collect()
+    }
+    assert v_map["mc"] == "ma"  # genuine re-encode collapses
+    assert v_map["mb"] == "mb"  # planted collision survives
+    assert s_v["media_kept"] == 2
+
+
 def test_trainprep_media_near_dedup_end_to_end(spark, tmp_path):
     """--media-near-dedup through the composed job: a doc referencing a
     re-encoded copy ends up referencing the original's canonical ref in

@@ -234,6 +234,8 @@ def run_trainprep_job(
     components_algorithm: str = "propagate",
     media_near_dedup: bool = False,
     media_verify_bytes: bool = False,
+    semantic_dedup: bool = False,
+    semantic_nlist: int | None = None,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -256,6 +258,10 @@ def run_trainprep_job(
     # decontaminate flag (its report feeds the summary).
     media_path = os.path.join(sf_dir, "media.parquet")
     has_media = os.path.exists(media_path) and "media_refs" in docs.columns
+    # same up-front-presence rule for the semantic stage (VERDICT r5
+    # item 8): the flag AND the table's existence are both lineage
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    has_embeddings = semantic_dedup and os.path.exists(emb_path)
 
     p_hash = params_hash(
         input=sf_dir,
@@ -267,6 +273,8 @@ def run_trainprep_job(
         decontaminate=decontaminate,
         media_near_dedup=media_near_dedup,
         media_verify_bytes=media_verify_bytes,
+        semantic_dedup=has_embeddings,
+        semantic_nlist=semantic_nlist,
     )
     sr = StageRunner(
         StageManifest(manifest_dir) if manifest_dir else None,
@@ -364,6 +372,56 @@ def run_trainprep_job(
             "media_dups": m_in - m_kept,
         }
 
+    # optional semantic dedup stage (VERDICT r5 item 8, SemDeDup-shape):
+    # embeddings for the SURVIVING docs -> fixed-centroid cells ->
+    # capped in-cell cosine -> star components; the prune map (doc_id,
+    # sem_rep) for non-representative members commits as its own
+    # resumable stage and the final corpus excludes those docs. The
+    # representative of every component is its minimum doc_id, which is
+    # a keeper by construction (the map is computed on keeper-restricted
+    # embeddings only).
+    sem_summary: dict = {}
+    if has_embeddings:
+        sem_dir = os.path.join(out_dir, "semantic")
+
+        def write_semantic():
+            from hocr_de_noising_spark.queries.similarity_ml import (
+                semantic_prune,
+            )
+
+            keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
+            emb = (
+                spark.read.parquet(emb_path)
+                .join(keepers.select("doc_id"), "doc_id")
+                .select(F.col("doc_id").alias("vec_id"), "embedding")
+            )
+            # semantic_nlist: None = the 8-cell oracle quantizer (fine
+            # for small corpora); at scale size it so cells stay under
+            # EMBED_BLOCK_CAP (bench_semantic_recall: recall 0.80 at
+            # overflowing cells vs 0.996 at nlist=n/24 with top-2
+            # assignment)
+            prune = semantic_prune(
+                emb,
+                nlist=semantic_nlist,
+                n_assign=1 if semantic_nlist is None else 2,
+            ).filter(
+                F.col("vec_id") != F.col("sem_rep")
+            )
+            prune.select(
+                F.col("vec_id").alias("doc_id"), "sem_rep"
+            ).write.mode("overwrite").parquet(
+                os.path.join(sem_dir, "prune_map")
+            )
+
+        sr.run(
+            "semantic_dedup",
+            write_semantic,
+            lambda: n_of(os.path.join(sem_dir, "prune_map")),
+        )
+        sem_summary = {
+            "semantic_pruned": n_of(os.path.join(sem_dir, "prune_map"))
+        }
+
     def write_corpus():
         keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
         filtered = spark.read.parquet(
@@ -371,6 +429,9 @@ def run_trainprep_job(
         )
         cols = ["doc_id", "text", "lang", "split"]
         final = keepers.join(filtered, "doc_id")
+        if has_embeddings:
+            prune = spark.read.parquet(os.path.join(out_dir, "semantic", "prune_map"))
+            final = final.join(prune.select("doc_id"), "doc_id", "left_anti")
         if has_media:
             # remap_media_refs references its input from three plan
             # branches (with-media / no-media split + the re-join) and
@@ -398,6 +459,7 @@ def run_trainprep_job(
         "gated_out": n_in - n_filtered,
         "dedup_removed": n_filtered - n_final,
         "dedup": dedup_summary,
+        **sem_summary,
         **decon_summary,
         **media_summary,
         "stage_secs": sr.stage_secs,
@@ -423,6 +485,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--components-algorithm", default="propagate",
                     choices=("propagate", "star"),
                     help="star = O(log n) rounds at any graph diameter")
+    ap.add_argument("--semantic-nlist", type=int, default=None,
+                    help="cells for the semantic stage's fixed coarse "
+                         "quantizer (size so cells stay under 256; "
+                         "default: the 8-cell oracle quantizer)")
+    ap.add_argument("--semantic-dedup", action="store_true",
+                    help="SemDeDup stage: prune cosine-near embedding "
+                         "cluster-mates among the dedup keepers (needs "
+                         "embeddings.parquet with doc_id in the input dir)")
     ap.add_argument("--media-verify-bytes", action="store_true",
                     help="gate near-dup collapse on the fine band-sum "
                          "verify signature (blocks coarse-psig false merges)")
@@ -444,6 +514,8 @@ def main(argv: list[str] | None = None) -> None:
         components_algorithm=args.components_algorithm,
         media_near_dedup=args.media_near_dedup,
         media_verify_bytes=args.media_verify_bytes,
+        semantic_dedup=args.semantic_dedup,
+        semantic_nlist=args.semantic_nlist,
     )
     print(summary)
     spark.stop()

@@ -780,6 +780,95 @@ def test_media_arrival_invalidates_resume(spark, tmp_path):
     assert refs[1] == ["m1", "m2"]  # m3 remapped in the rewritten corpus
 
 
+def test_trainprep_semantic_stage_and_resume(spark, tmp_path):
+    """VERDICT r5 item 8: the SemDeDup stage prunes a planted
+    cosine-near embedding pair among the dedup keepers (keeping the
+    min-doc_id representative), commits as its own manifest stage, and
+    a crash right after it resumes with the stage skipped and the same
+    final corpus."""
+    import hashlib as _hashlib
+    import sys
+
+    import pytest as _pytest
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    import pyspark.sql.functions as F
+    from run_trainprep import run_trainprep_job
+
+    kwargs = dict(min_quality=0.4, langs=("en",), jaccard_threshold=0.05)
+
+    # baseline run (no semantic stage) to learn the surviving doc ids
+    base = run_trainprep_job(spark, SF_DIR, str(tmp_path / "base"), **kwargs)
+    survivors = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "base" / "corpus"))
+        .select("doc_id")
+        .collect()
+    )
+    assert len(survivors) >= 2
+    near_a, near_b = survivors[0], survivors[1]
+
+    # custom input dir: same documents + embeddings with doc_id — two
+    # survivors share a near-identical embedding, everyone else gets a
+    # deterministic pseudo-random (mutually far) vector
+    inp = str(tmp_path / "inp")
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).write.parquet(
+        os.path.join(inp, "documents.parquet")
+    )
+
+    def vec(doc_id) -> list[float]:
+        h = _hashlib.md5(str(doc_id).encode()).digest() * 4
+        return [float(b) - 127.5 for b in h[:64]]
+
+    rows = []
+    for r in spark.read.parquet(os.path.join(inp, "documents.parquet")).select("doc_id").collect():
+        d = r.doc_id
+        if d == near_b:
+            v = [x + 0.01 for x in vec(near_a)]  # cosine ~1 vs near_a
+        else:
+            v = vec(d)
+        rows.append((d, v))
+    spark.createDataFrame(rows, "doc_id long, embedding array<float>").write.parquet(
+        os.path.join(inp, "embeddings.parquet")
+    )
+
+    out = str(tmp_path / "prep")
+    man = str(tmp_path / "man")
+    with _pytest.raises(RuntimeError, match="injected crash"):
+        run_trainprep_job(
+            spark, inp, out, manifest_dir=man, run_id="rs",
+            fail_after_stage="semantic_dedup", semantic_dedup=True, **kwargs,
+        )
+    s2 = run_trainprep_job(
+        spark, inp, out, manifest_dir=man, run_id="rs",
+        semantic_dedup=True, **kwargs,
+    )
+    assert "semantic_dedup" in s2["stages_skipped"]
+    assert s2["semantic_pruned"] >= 1
+    prune = {
+        r.doc_id: r.sem_rep
+        for r in spark.read.parquet(
+            os.path.join(out, "semantic", "prune_map")
+        ).collect()
+    }
+    assert prune.get(near_b) == near_a  # min-id representative kept
+    corpus_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "corpus"))
+        .select("doc_id")
+        .collect()
+    }
+    assert near_a in corpus_ids and near_b not in corpus_ids
+    assert s2["n_final"] == base["n_final"] - s2["semantic_pruned"]
+
+    # fresh (non-resumed) run agrees
+    s3 = run_trainprep_job(
+        spark, inp, str(tmp_path / "prep2"), semantic_dedup=True, **kwargs
+    )
+    assert s3["semantic_pruned"] == s2["semantic_pruned"]
+    assert s3["n_final"] == s2["n_final"]
+
+
 def test_trainprep_decon_stage_resume(spark, tmp_path):
     """VERDICT r4 item 8: the decontamination report is its own
     manifest stage — a crash after it commits must let the restarted

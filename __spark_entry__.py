@@ -40,6 +40,9 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHANGED_SINCE_GREEN: list[str] = [
     "decontaminate_overlap",  # r6: fused-window rewrite + xxhash64 keys
     "dedup_ngram_jaccard",  # r6: capped_shingles xxhash64 keys
+    "dedup_minhash_lsh",  # r6: multiply-shift family (ADVICE r5)
+    "dedup_components",  # r6: consumes the new minhash pairs
+    "dedup_components_star",  # r6: same dependency
 ]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).

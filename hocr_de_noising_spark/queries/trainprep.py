@@ -48,16 +48,27 @@ def dedup_exact(spark, sf):
 
 N_SEEDS, BAND_ROWS = 16, 2  # 8 bands x 2 rows
 
-# one 60-bit base hash per shingle + N_SEEDS xor-mixings replaces
+# one 60-bit base hash per shingle + N_SEEDS cheap mixings replaces
 # N_SEEDS full md5 computations per shingle row (r5: md5 was ~16x the
-# map-stage CPU of the whole minhash pass; xor with per-seed random
-# constants is the standard cheap-hash-family trick and stays
-# bit-portable — conv/xor produce identical int64s in both engines).
-# 15 hex chars = 60 bits keeps every value positive in a signed int64.
+# map-stage CPU of the whole minhash pass). r6 (ADVICE r5): the mixing
+# family is multiply-shift over the Mersenne prime 2^31-1 —
+# mh_i = (a_i * (h mod P) + b_i) mod P — a PAIRWISE-INDEPENDENT
+# universal family [Carter & Wegman 1979], unlike the r5 xor-mixings
+# whose 16 minima all derived from one base ordering with bit flips
+# (correlated band collisions, so the LSH s^r curve deviated from the
+# independent-hash model near the jaccard threshold). Products stay
+# under 2^62 (a_i < 2^31, h mod P < 2^31), so the int64 arithmetic is
+# exact and bit-identical in both engines; 31-bit minhash values are
+# the standard working width (ties within a doc's shingle set are
+# ~n^2/2^32 and affect both engines identically).
 import hashlib as _hashlib
 
-MINHASH_SEEDS = [
-    int(_hashlib.md5(f"seed:{i}".encode()).hexdigest()[:15], 16)
+MINHASH_P = (1 << 31) - 1  # Mersenne prime 2^31 - 1
+MINHASH_AB = [
+    (
+        1 + int(_hashlib.md5(f"a:{i}".encode()).hexdigest()[:15], 16) % (MINHASH_P - 1),
+        int(_hashlib.md5(f"b:{i}".encode()).hexdigest()[:15], 16) % MINHASH_P,
+    )
     for i in range(N_SEEDS)
 ]
 
@@ -71,12 +82,13 @@ _SHINGLE_SQL = """
 _MINHASH_SQL = f"""
 WITH sh AS ({_SHINGLE_SQL}),
 hv AS (
-    SELECT doc_id, CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) AS h
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % {MINHASH_P} AS h
     FROM sh
 ),
 sig AS (
     SELECT doc_id,
-           {", ".join(f"min(xor(h, {c})) AS mh{i}" for i, c in enumerate(MINHASH_SEEDS))}
+           {", ".join(f"min(({a} * h + {b}) % {MINHASH_P}) AS mh{i}" for i, (a, b) in enumerate(MINHASH_AB))}
     FROM hv GROUP BY doc_id
 ),
 bands AS (
@@ -118,14 +130,19 @@ def _shingles(spark, sf, n: int = 3):
 @register("dedup_minhash_lsh", _MINHASH_SQL)
 def dedup_minhash_lsh(spark, sf):
     """MinHash+LSH near-dup candidates: shingle → ONE 60-bit md5-based
-    hash → 16 xor-mixed minhashes → 2-row bands → star pairing within
-    each band bucket. md5/conv/xor keep signatures engine-portable.
+    hash → 16 multiply-shift minhashes mod 2^31-1 (pairwise-independent
+    Carter-Wegman family, ADVICE r5 — the previous xor-mixings shared
+    one base ordering, correlating band collisions near the jaccard
+    threshold; scripts/bench_lsh_threshold.py measures both families
+    against the analytic 1-(1-s^2)^8 curve) → 2-row bands → star
+    pairing within each band bucket. conv + exact int64 arithmetic
+    keep signatures engine-portable.
 
     The 16 minhashes are computed as COLUMNS of one pass over the
-    shingles (one md5 + 16 xor expressions + a single groupBy with 16
-    min aggregates) — no 16x row explosion, no 16x md5 CPU (r5: md5
-    dominated the map stage), 8-byte ints instead of 32-char strings
-    through the map-side partial min.
+    shingles (one md5 + 16 multiply-add-mod expressions + a single
+    groupBy with 16 min aggregates) — no 16x row explosion, no 16x md5
+    CPU (r5: md5 dominated the map stage), 8-byte ints instead of
+    32-char strings through the map-side partial min.
 
     Candidate pairs are (bucket representative = min doc_id, member):
     a hot bucket of n true duplicates emits n-1 pairs instead of the
@@ -134,12 +151,14 @@ def dedup_minhash_lsh(spark, sf):
     large-corpus MinHash trade. This also removes the self-join
     entirely: ONE window over (band, bucket) and a distinct."""
     sh = _shingles(spark, sf, 3)
-    base = F.expr("cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)")
+    base = F.expr(
+        f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {MINHASH_P}"
+    )
     sig = sh.select(
         "doc_id",
         *[
-            base.bitwiseXOR(F.lit(c)).alias(f"h{i}")
-            for i, c in enumerate(MINHASH_SEEDS)
+            ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+            for i, (a, b) in enumerate(MINHASH_AB)
         ],
     ).groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(N_SEEDS)]

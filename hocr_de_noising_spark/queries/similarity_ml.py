@@ -293,12 +293,6 @@ SEM_COS_MIN = 0.9  # production threshold: prune near-semantic copies
 SEM_COS_MIN_ORACLE = 0.4
 
 
-def _sem_block_cols(elem_dots):
-    """(cell, sub) assignment fragments shared by Spark and DuckDB."""
-    dots = ", ".join(f"{d} AS d{i}" for i, d in enumerate(elem_dots))
-    return dots, _ivf_cell_case()
-
-
 def _dense_centroids(nlist: int, dim: int, seed: int = 7654321):
     """Dense {+1.0, 0.0, -1.0} centroid rows from the same LCG family —
     the scalable form of :func:`_ivf_centroids` for arbitrary nlist

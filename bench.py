@@ -62,6 +62,8 @@ HEADLINE = [
     "quality_repetition",
     "decontaminate_overlap",
     "dedup_media_near",
+    "ann_ivf_fixed",
+    "dedup_semantic",
 ]
 # ingest corpus: realistic Tesseract-scale pages (~300 words / ~26 KB)
 HOCR_DOCS = 8_000

@@ -358,6 +358,7 @@ def semantic_pairs(
     threshold: float = SEM_COS_MIN,
     nlist: int | None = None,
     n_assign: int = 1,
+    vectorized: bool | None = None,
 ):
     """Cosine-near pairs (doc_a, doc_b, cosine) within fixed-centroid
     cells, sub-blocked to EMBED_BLOCK_CAP. ``emb``: (vec_id,
@@ -396,7 +397,13 @@ def semantic_pairs(
     s = assigned.withColumn(
         "sub", F.floor((F.row_number().over(w) - 1) / EMBED_BLOCK_CAP)
     )
-    if nlist is not None:
+    if vectorized is None:
+        vectorized = nlist is not None
+    if vectorized:
+        # the pair stage is implementation-independent of the oracle
+        # (same rows either way, property-tested): the numpy block
+        # matmul replaces ~C(block,2) interpreted 64-dim HOF cosines —
+        # 35.4 s -> ~4 s for the sf0.1 registry key
         out = _block_pairs_pandas(s, threshold)
         return out.distinct() if n_assign > 1 else out
     a, b = s.alias("a"), s.alias("b")
@@ -460,6 +467,7 @@ def semantic_prune(
     threshold: float = SEM_COS_MIN,
     nlist: int | None = None,
     n_assign: int = 1,
+    vectorized: bool | None = None,
 ):
     """(vec_id, sem_rep) for every vector in a semantic component —
     rows with sem_rep != vec_id are the prune set (SemDeDup keeps one
@@ -467,9 +475,10 @@ def semantic_prune(
     from hocr_de_noising_spark.queries.trainprep import connected_components
 
     comps = connected_components(
-        semantic_pairs(emb, threshold, nlist=nlist, n_assign=n_assign).select(
-            "doc_a", "doc_b"
-        ),
+        semantic_pairs(
+            emb, threshold, nlist=nlist, n_assign=n_assign,
+            vectorized=vectorized,
+        ).select("doc_a", "doc_b"),
         algorithm="star",
     )
     return comps.select(
@@ -533,5 +542,7 @@ def dedup_semantic(spark, sf):
     table (no planted semantic dups exist there); the production stage
     and the planted-dup recall bench use SEM_COS_MIN."""
     return semantic_prune(
-        load(spark, sf, "embeddings"), threshold=SEM_COS_MIN_ORACLE
+        load(spark, sf, "embeddings"),
+        threshold=SEM_COS_MIN_ORACLE,
+        vectorized=True,
     )

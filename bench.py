@@ -180,13 +180,16 @@ def main() -> None:
     hocr_pages = spark.read.parquet(os.path.join(hocr_dir, "pages.parquet"))
     hocr_pages.count()  # page-cache warm, same as the other inputs
     hocr_warm = hocr_pages.limit(500)
-    _noop_write(parse_hocr_auto(hocr_warm))
+    _noop_write(parse_hocr_auto(hocr_warm, triage="checkpoint"))
     _noop_write(parse_hocr(hocr_warm))
     malformed_frac = hocr_pages.filter(
         ~hocr_soundness_probe("hocr")
     ).count() / float(HOCR_DOCS)
     t0 = time.time()
-    _noop_write(parse_hocr_auto(hocr_pages))
+    # triage="checkpoint": probe once + memory-speed second scan — the
+    # right mode when the corpus fits executor storage (parity with the
+    # Python path; inline mode pays the probe twice and reads ~1.5x)
+    _noop_write(parse_hocr_auto(hocr_pages, triage="checkpoint"))
     timings["hocr_ingest_jvm_auto"] = round(time.time() - t0, 3)
     t0 = time.time()
     _noop_write(parse_hocr(hocr_pages))

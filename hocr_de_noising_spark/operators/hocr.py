@@ -506,12 +506,36 @@ def hocr_soundness_probe(hocr_col: str):
 
 
 def parse_hocr_auto(
-    df: DataFrame, doc_col: str = "doc_id", hocr_col: str = "hocr"
+    df: DataFrame,
+    doc_col: str = "doc_id",
+    hocr_col: str = "hocr",
+    triage: str = "inline",
 ) -> DataFrame:
     """Route each page to the JVM fast path when structurally sound
     (``hocr_soundness_probe``) and to the tolerant Python parser
     otherwise. The guard is itself JVM-side, so the Python stage only
-    ever sees the malformed/nonstandard tail."""
+    ever sees the malformed/nonstandard tail.
+
+    ``triage`` controls how the probe result reaches the two branches
+    (Spark cannot per-row fork one scan into two different physical
+    operators, so the union always has two subtrees):
+
+    - ``"inline"`` (default): each branch recomputes scan + probe.
+      The right default at 100 TB, where caching the raw corpus is
+      impossible and the duplicated probe CPU overlaps the scan IO.
+    - ``"checkpoint"``: localCheckpoint the (doc, hocr, sound) triage
+      ONCE; both branches read the materialized partitions, so the
+      probe runs once and the second scan is memory-speed. The right
+      choice when the corpus fits executor storage (benches, staging
+      jobs); a production pipeline at scale gets the same effect by
+      WRITING the triage column during its staging pass."""
+    if triage == "checkpoint":
+        tr = df.select(
+            doc_col, hocr_col, hocr_soundness_probe(hocr_col).alias("_hocr_sound")
+        ).localCheckpoint(eager=False)
+        fast = parse_hocr_jvm(tr.filter("_hocr_sound"), doc_col, hocr_col)
+        slow = parse_hocr(tr.filter("NOT _hocr_sound"), doc_col, hocr_col)
+        return fast.unionByName(slow)
     sound = hocr_soundness_probe(hocr_col)
     fast = parse_hocr_jvm(df.filter(sound), doc_col, hocr_col)
     slow = parse_hocr(df.filter(~sound), doc_col, hocr_col)

@@ -286,6 +286,10 @@ def test_auto_router_fuzz_differential(spark):
     cols = ["doc_id", "order"]
     py = parse_hocr(df).orderBy(*cols).collect()
     auto = parse_hocr_auto(df).orderBy(*cols).collect()
+    # triage="checkpoint" (probe-once materialization) must be
+    # record-identical to the inline two-filter form on the same fuzz
+    ckpt = parse_hocr_auto(df, triage="checkpoint").orderBy(*cols).collect()
+    assert [r.asDict() for r in ckpt] == [r.asDict() for r in auto]
     assert len(py) == len(auto) and len(py) > 100
     for a, b in zip(py, auto):
         assert a.asDict() == b.asDict(), (a, b)

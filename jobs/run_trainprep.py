@@ -404,6 +404,7 @@ def run_trainprep_job(
                 emb,
                 nlist=semantic_nlist,
                 n_assign=1 if semantic_nlist is None else 2,
+                vectorized=True,
             ).filter(
                 F.col("vec_id") != F.col("sem_rep")
             )

@@ -154,10 +154,19 @@ def dedup_minhash_lsh(spark, sf):
     base = F.expr(
         f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint) % {MINHASH_P}"
     )
-    sig = sh.select(
+    return minhash_pairs_from_base(sh.select("doc_id", base.alias("hp")))
+
+
+def minhash_pairs_from_base(hv):
+    """Candidate pairs from a (doc_id, hp) frame where ``hp`` is the
+    31-bit base hash of one shingle — the shared tail of
+    ``dedup_minhash_lsh`` (which computes hp from text) and the dedup
+    job's materialized raw-shingle path (which reads hp from parquet
+    and skips the second full text scan + shingle explosion)."""
+    sig = hv.select(
         "doc_id",
         *[
-            ((F.lit(a) * base + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
+            ((F.lit(a) * F.col("hp") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"h{i}")
             for i, (a, b) in enumerate(MINHASH_AB)
         ],
     ).groupBy("doc_id").agg(
@@ -285,11 +294,37 @@ def capped_shingles(spark, sf, n: int = 3, df_cap: int = JACCARD_DF_CAP):
     sh = _shingles(spark, sf, n).select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
     )
+    return capped_from_hashed(sh, df_cap)
+
+
+def capped_from_hashed(sh, df_cap: int = JACCARD_DF_CAP):
+    """df-cap window over a pre-hashed (doc_id, shingle int64) frame —
+    shared by ``capped_shingles`` and the dedup job's materialized
+    raw-shingle path."""
     w = Window.partitionBy("shingle")
     return (
         sh.withColumn("df", F.count(F.lit(1)).over(w))
         .filter(F.col("df") <= df_cap)
         .drop("df")
+    )
+
+
+def raw_shingle_table(spark, sf, n: int = 3):
+    """ONE text scan producing both hash views of every distinct
+    shingle: (doc_id, shingle=xxhash64 equality key, hp=31-bit minhash
+    base). The dedup job materializes this ONCE so the LSH stage and
+    the df-cap/jaccard stage stop regenerating shingles from text
+    independently (each regeneration = full corpus scan + split +
+    3-gram transform + array_distinct + explode — 2x ~10 s at 1M docs,
+    and at 100 TB a second full read of the text corpus where the
+    materialized int table is ~7x smaller)."""
+    return _shingles(spark, sf, n).select(
+        "doc_id",
+        F.xxhash64("shingle").alias("shingle"),
+        F.expr(
+            f"cast(conv(substr(md5(shingle), 1, 15), 16, 10) as bigint)"
+            f" % {MINHASH_P}"
+        ).alias("hp"),
     )
 
 

@@ -29,11 +29,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hocr_de_noising_spark.queries.trainprep import (  # noqa: E402
+    capped_from_hashed,
     capped_shingles,
     connected_components,
     dedup_exact,
     dedup_minhash_lsh,
     jaccard_for_pairs,
+    minhash_pairs_from_base,
+    raw_shingle_table,
     sample_split,
 )
 from hocr_de_noising_spark.session import get_spark  # noqa: E402
@@ -54,6 +57,7 @@ def run_dedup_job(
     fail_after_stage: str | None = None,
     components_algorithm: str = "propagate",
     upstream_hash: str = "",
+    materialize_shingles: bool = True,
 ) -> dict:
     """Compose the dedup stages; returns summary counts + per-stage
     wall seconds (``stage_secs``).
@@ -98,13 +102,43 @@ def run_dedup_job(
         .parquet(os.path.join(out_dir, "exact_groups")),
         lambda: n("exact_groups"),
     )
-    sr.run(
-        "lsh_candidates",
-        lambda: dedup_minhash_lsh(spark, sf_dir)
-        .write.mode("overwrite")
-        .parquet(os.path.join(out_dir, "candidate_pairs")),
-        lambda: n("candidate_pairs"),
-    )
+    # materialize_shingles=True (default) writes BOTH hash views of
+    # every shingle in ONE text scan and feeds the LSH + df-cap stages
+    # from the int table — signatures/candidates BIT-IDENTICAL to the
+    # direct path (same base hash, same family). Interleaved A/B at 1M
+    # docs/local[32] (BENCH r6): materialized 35.8-36.1 s vs direct
+    # 43.9-61.5 s total, identical keepers — one shingle explosion
+    # instead of two beats the intermediate write cost, and at 100 TB
+    # the gap widens (re-reading the text corpus vs a ~7x smaller int
+    # table). materialize_shingles=False keeps the scan-twice shape
+    # for storage-constrained deployments.
+    if materialize_shingles:
+        sr.run(
+            "raw_shingles",
+            lambda: raw_shingle_table(spark, sf_dir, 3)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "raw_shingles")),
+            lambda: n("raw_shingles"),
+        )
+        sr.run(
+            "lsh_candidates",
+            lambda: minhash_pairs_from_base(
+                spark.read.parquet(
+                    os.path.join(out_dir, "raw_shingles")
+                ).select("doc_id", "hp")
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "candidate_pairs")),
+            lambda: n("candidate_pairs"),
+        )
+    else:
+        sr.run(
+            "lsh_candidates",
+            lambda: dedup_minhash_lsh(spark, sf_dir)
+            .write.mode("overwrite")
+            .parquet(os.path.join(out_dir, "candidate_pairs")),
+            lambda: n("candidate_pairs"),
+        )
     # materialize the df-capped shingle table ONCE: jaccard_for_pairs
     # references it four times and Catalyst does not share subtrees —
     # without this the corpus is scanned and the df-cap window shuffled
@@ -121,9 +155,17 @@ def run_dedup_job(
             .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
             .distinct()
         )
-        capped_shingles(spark, sf_dir, 3).join(
-            ids, "doc_id", "left_semi"
-        ).write.mode("overwrite").parquet(os.path.join(out_dir, "shingles"))
+        if materialize_shingles:
+            sh = capped_from_hashed(
+                spark.read.parquet(
+                    os.path.join(out_dir, "raw_shingles")
+                ).select("doc_id", "shingle")
+            )
+        else:
+            sh = capped_shingles(spark, sf_dir, 3)
+        sh.join(ids, "doc_id", "left_semi").write.mode("overwrite").parquet(
+            os.path.join(out_dir, "shingles")
+        )
 
     sr.run("shingles", write_candidate_shingles, lambda: n("shingles"))
     sr.run(

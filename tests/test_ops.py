@@ -521,7 +521,9 @@ def test_trainprep_stage_resume(spark, tmp_path):
         )
     s2 = run_trainprep_job(spark, SF_DIR, out, manifest_dir=man, run_id="rv", **kwargs)
     assert s2["stages_skipped"] == ["scrub_and_gates"]
-    assert s2["dedup"]["stages_skipped"] == ["exact", "lsh_candidates"]
+    assert s2["dedup"]["stages_skipped"] == [
+        "exact", "raw_shingles", "lsh_candidates",
+    ]
     assert set(s2["dedup"]["stages_run"]) == {
         "shingles", "jaccard_verify", "components", "keepers_split",
     }
@@ -896,8 +898,8 @@ def test_trainprep_decon_stage_resume(spark, tmp_path):
     assert "decontaminate" in s2["stages_skipped"]
     assert "scrub_and_gates" in s2["stages_skipped"]
     assert s2["dedup"]["stages_skipped"] == [
-        "exact", "lsh_candidates", "shingles", "jaccard_verify",
-        "components", "keepers_split",
+        "exact", "raw_shingles", "lsh_candidates", "shingles",
+        "jaccard_verify", "components", "keepers_split",
     ]
     # the skipped stage's report is read from disk, so the count holds
     s3 = run_trainprep_job(spark, SF_DIR, str(tmp_path / "prep2"), **kwargs)

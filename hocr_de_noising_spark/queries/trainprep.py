@@ -1184,6 +1184,70 @@ def text_scrub(spark, sf):
     )
 
 
+# PII masking patterns — RE2 (DuckDB) and java.util.regex (Spark)
+# compatible subset: no backrefs, no lookaround; character classes with
+# the literal dash LAST. Emails mask first, then IPv4, then phone-ish
+# digit runs (the aggressive trainprep default: over-masking beats
+# leaking), and each count is taken on the PREVIOUS stage's text so a
+# digit-bearing email is never double-counted as a phone.
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+PII_PHONE = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+_PII_SQL = f"""
+SELECT doc_id,
+       regexp_replace(t2, '{PII_PHONE}', '[PHONE]', 'g') AS pii_scrubbed,
+       n_email, n_ip,
+       CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS INTEGER) AS n_phone
+FROM (
+    SELECT doc_id, regexp_replace(t1, '{PII_IPV4}', '[IP]', 'g') AS t2,
+           n_email,
+           CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS INTEGER) AS n_ip
+    FROM (
+        SELECT doc_id,
+               regexp_replace(text, '{PII_EMAIL}', '[EMAIL]', 'g') AS t1,
+               CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INTEGER)
+                   AS n_email
+        FROM documents WHERE text IS NOT NULL
+    )
+)
+"""
+
+
+@register("pii_scrub", _PII_SQL)
+def pii_scrub(spark, sf):
+    """PII redaction pass for training corpora: mask emails, IPv4
+    addresses and phone-shaped digit runs with typed placeholders and
+    count each (the standard pre-training privacy scrub; patterns are
+    the engine-portable regex subset). Pure map-side JVM regexp — one
+    scan, zero shuffle, composes with text_scrub's digit masking."""
+    t = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    t1 = F.regexp_replace("text", PII_EMAIL, "[EMAIL]")
+    out = t.select(
+        "doc_id",
+        t1.alias("t1"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).alias(
+            "n_email"
+        ),
+    )
+    t2 = F.regexp_replace("t1", PII_IPV4, "[IP]")
+    out = out.select(
+        "doc_id",
+        t2.alias("t2"),
+        "n_email",
+        F.size(F.regexp_extract_all("t1", F.lit(PII_IPV4), F.lit(0))).alias("n_ip"),
+    )
+    return out.select(
+        "doc_id",
+        F.regexp_replace("t2", PII_PHONE, "[PHONE]").alias("pii_scrubbed"),
+        "n_email",
+        "n_ip",
+        F.size(F.regexp_extract_all("t2", F.lit(PII_PHONE), F.lit(0))).alias(
+            "n_phone"
+        ),
+    )
+
+
 @register(
     "sample_split",
     """SELECT doc_id,

@@ -100,6 +100,11 @@ _NASTY_TEXTS = [
     (13, "ends with spaces   "),
     (14, "the the the the the the the the"),  # max repetition
     (15, "every clever weaver sewed seven green sleeves here"),
+    # planted PII (pii_scrub coverage — the sf tables contain none)
+    (16, "contact bob.smith+x@ex-ample.co.uk or alice@a.io today"),
+    (17, "server at 10.0.0.1 and 192.168.255.254 but not 999.1.2"),
+    (18, "call +44 (0) 1234 567890 or 555-867-5309 x22"),
+    (19, "mixed a1@b.cd from 8.8.8.8 dialing 0123456789 end"),
 ]
 
 
@@ -127,6 +132,7 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         "lang_id", "quality_score", "text_scrub", "token_count",
         "quality_repetition", "doc_fingerprint", "dedup_exact",
         "sample_split", "decontaminate_overlap", "dedup_media_near",
+        "pii_scrub",
     ]
     for name in keys:
         sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()

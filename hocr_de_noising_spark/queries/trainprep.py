@@ -1184,6 +1184,59 @@ def text_scrub(spark, sf):
     )
 
 
+# a shingle is "boilerplate" when it appears in at least this many
+# DISTINCT documents — the cross-corpus duplicated-span signal of
+# [Lee et al., "Deduplicating Training Data Makes Language Models
+# Better", arXiv:2107.06499 — public paper]; within-doc repetition is
+# quality_repetition's job
+BOILERPLATE_DF = 2
+
+_BP_SQL = """
+WITH sh AS (
+    SELECT DISTINCT doc_id, concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4]) AS shingle
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+          FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+                WHERE text IS NOT NULL AND len(string_split(text, ' ')) >= 5))
+),
+d AS (
+    SELECT doc_id, count(*) OVER (PARTITION BY shingle) AS df FROM sh
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN df >= {bp} THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN df >= {bp} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) + 0.0 AS shared_frac
+FROM d GROUP BY doc_id
+""".format(bp=BOILERPLATE_DF)
+
+
+@register("quality_boilerplate", _BP_SQL)
+def quality_boilerplate(spark, sf):
+    """Cross-doc duplicated-span signal: the fraction of a document's
+    distinct 5-gram shingles that also occur in other documents
+    (corpus shingle df >= BOILERPLATE_DF) — the boilerplate /
+    template-text quality filter that within-doc quality_repetition
+    cannot see. Shape: one shingle scan, one (shingle) window whose
+    partitioning the per-doc groupBy does NOT reuse (different key) —
+    two exchanges, both on 8-byte ints (xxhash64 Spark-side; the
+    oracle counts its own raw strings — equality-only semantics, same
+    independence argument as capped_shingles)."""
+    sh = _shingles(spark, sf, 5).select(
+        "doc_id", F.xxhash64("shingle").alias("shingle")
+    )
+    w = Window.partitionBy("shingle")
+    d = sh.select("doc_id", F.count(F.lit(1)).over(w).alias("df"))
+    shared = F.sum(
+        F.when(F.col("df") >= BOILERPLATE_DF, 1).otherwise(0)
+    )
+    return d.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        shared.cast("long").alias("n_shared"),
+        F.round(
+            shared.cast("double") / F.count(F.lit(1)), 4
+        ).alias("shared_frac"),
+    )
+
+
 # PII masking patterns — RE2 (DuckDB) and java.util.regex (Spark)
 # compatible subset: no backrefs, no lookaround; character classes with
 # the literal dash LAST. Emails mask first, then IPv4, then phone-ish

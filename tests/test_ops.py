@@ -132,7 +132,7 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         "lang_id", "quality_score", "text_scrub", "token_count",
         "quality_repetition", "doc_fingerprint", "dedup_exact",
         "sample_split", "decontaminate_overlap", "dedup_media_near",
-        "pii_scrub",
+        "pii_scrub", "quality_boilerplate",
     ]
     for name in keys:
         sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()

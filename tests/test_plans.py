@@ -189,3 +189,19 @@ def test_media_near_is_join_free_single_scan(spark):
     assert "Join" not in p and "CartesianProduct" not in p, p
     assert p.count("Scan parquet") == 1, p
     assert p.count("Exchange") == 2, p
+
+
+def test_r6_text_keys_plan_shape(spark):
+    """pii_scrub is a pure map-side projection (zero exchange, zero
+    join, one scan); quality_boilerplate is join-free with exactly two
+    exchanges (the shingle-df window, then the per-doc agg — different
+    keys, so no reuse is possible), both on 8-byte int shingle keys."""
+    pii = QUERIES["pii_scrub"]["fn"](spark, SF)
+    p = plan_str(pii)
+    assert "Exchange" not in p and "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+    bp = QUERIES["quality_boilerplate"]["fn"](spark, SF)
+    p2 = plan_str(bp)
+    assert "Join" not in p2, p2
+    assert p2.count("Scan parquet") == 1, p2
+    assert p2.count("Exchange") == 2, p2

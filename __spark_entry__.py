@@ -37,44 +37,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Keys rewritten/touched after the round whose CORRECTNESS file last
 # recorded them green (update each round):
-_CHANGED_SINCE_GREEN: list[str] = [
-    "decontaminate_overlap",  # r6: fused-window rewrite + xxhash64 keys
-    "dedup_ngram_jaccard",  # r6: capped_shingles xxhash64 keys
-    "dedup_minhash_lsh",  # r6: multiply-shift family (ADVICE r5)
-    "dedup_components",  # r6: consumes the new minhash pairs
-    "dedup_components_star",  # r6: same dependency
-]
+_CHANGED_SINCE_GREEN: list[str] = []
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).
-# The 17 keys displaced by the r5 window (last green r4) lead round 6;
+# The 21 keys displaced by the r6 window (last green r5) lead round 7;
 # never-verified keys (e.g. new this round) sort before them at 0.
 _LAST_GREEN = dict.fromkeys(
     [
-        "agg_cube", "ann_ivf", "ann_lsh_bucketed", "dedup_embed_cosine",
-        "dedup_exact", "dict_join", "doc_fingerprint", "lang_id",
-        "quality_repetition", "quality_score", "sample_split",
-        "scalar_math", "stream_session", "stream_tumbling", "text_scrub",
-        "token_count", "window_ntile",
-    ],
-    4,
-) | dict.fromkeys(
-    [
-        "agg_approx_distinct", "agg_approx_percentile", "agg_dedup_first",
-        "agg_denoise_rate", "agg_distinct", "agg_grouping_sets",
-        "agg_percentile", "agg_rollup", "decontaminate_overlap",
-        "dedup_components", "dedup_components_star", "dedup_media_near",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
-        "explode_spans", "garbage_ratio", "geom_outliers", "join_anti",
-        "join_asof", "join_broadcast", "join_full", "join_inner",
-        "join_left", "join_range", "join_semi", "knn_bruteforce",
-        "lag_lead", "longs_normalize", "margin_envelope", "project_filter",
+        "agg_approx_percentile", "agg_denoise_rate", "dedup_media_near",
+        "dedup_simhash", "garbage_ratio", "geom_outliers", "join_full",
+        "knn_bruteforce", "longs_normalize", "margin_envelope",
         "reading_order", "scalar_array", "scalar_date", "scalar_json",
-        "scalar_string", "scalar_xml", "scan_lineitem", "set_except",
-        "set_intersect", "set_union", "sort_multikey", "topk_noisy",
-        "tpch_q1", "tpch_q3", "udaf_mad", "wconf_filter",
-        "window_range_frame", "window_rank", "window_running_sum",
+        "scalar_string", "scalar_xml", "set_intersect", "tpch_q3",
+        "udaf_mad", "wconf_filter", "window_range_frame",
     ],
     5,
+) | dict.fromkeys(
+    [
+        "agg_approx_distinct", "agg_cube", "agg_dedup_first",
+        "agg_distinct", "agg_grouping_sets", "agg_percentile",
+        "agg_rollup", "ann_ivf", "ann_ivf_fixed", "ann_lsh_bucketed",
+        "decontaminate_overlap", "dedup_components",
+        "dedup_components_star", "dedup_embed_cosine", "dedup_exact",
+        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
+        "dict_join", "doc_fingerprint", "explode_spans", "join_anti",
+        "join_asof", "join_broadcast", "join_inner", "join_left",
+        "join_range", "join_semi", "lag_lead", "lang_id", "pii_scrub",
+        "project_filter", "quality_boilerplate", "quality_repetition",
+        "quality_score", "sample_split", "scalar_math", "scan_lineitem",
+        "set_except", "set_union", "sort_multikey", "stream_session",
+        "stream_tumbling", "text_scrub", "token_count", "topk_noisy",
+        "tpch_q1", "window_ntile", "window_rank", "window_running_sum",
+    ],
+    6,
 )
 
 

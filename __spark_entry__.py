@@ -37,7 +37,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # Keys rewritten/touched after the round whose CORRECTNESS file last
 # recorded them green (update each round):
-_CHANGED_SINCE_GREEN: list[str] = []
+_CHANGED_SINCE_GREEN: list[str] = [
+    "decontaminate_overlap",  # r7: skew-proof stats+semi-join rewrite
+    "dedup_ngram_jaccard",  # r7: df cap via hot-list anti-join
+    "quality_boilerplate",  # r7: window-free complement formulation
+]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).
 # The 21 keys displaced by the r6 window (last green r5) lead round 7;

@@ -275,8 +275,8 @@ WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.2
 
 def capped_shingles(spark, sf, n: int = 3, df_cap: int = JACCARD_DF_CAP):
     """Shingles with document frequency <= df_cap — the bounded input
-    that makes the jaccard self-join safe at scale. The df filter is a
-    single count window BEFORE the self-join (plan-asserted in
+    that makes the jaccard self-join safe at scale. The df cap is
+    enforced BEFORE the self-join (plan-asserted in
     tests/test_plans.py), so the join's per-key fan-out is <= df_cap.
 
     The ``shingle`` column is the n-gram's xxhash64 int64: every
@@ -297,16 +297,49 @@ def capped_shingles(spark, sf, n: int = 3, df_cap: int = JACCARD_DF_CAP):
     return capped_from_hashed(sh, df_cap)
 
 
-def capped_from_hashed(sh, df_cap: int = JACCARD_DF_CAP):
-    """df-cap window over a pre-hashed (doc_id, shingle int64) frame —
-    shared by ``capped_shingles`` and the dedup job's materialized
-    raw-shingle path."""
-    w = Window.partitionBy("shingle")
-    return (
-        sh.withColumn("df", F.count(F.lit(1)).over(w))
-        .filter(F.col("df") <= df_cap)
-        .drop("df")
+def capped_from_hashed(
+    sh,
+    df_cap: int = JACCARD_DF_CAP,
+    share: bool = True,
+    hot_broadcast: bool = True,
+):
+    """df-cap over a pre-hashed (doc_id, shingle int64) frame — shared
+    by ``capped_shingles`` and the dedup job's materialized raw-shingle
+    path.
+
+    Skew-proof shape (r7, VERDICT r6 item 2): the r6 form computed df
+    with ``count() OVER (PARTITION BY shingle)``, and WindowExec
+    materializes each shingle's rows in ONE task with no map-side
+    partial aggregation — a boilerplate 5-gram in 1% of a web corpus
+    puts its entire posting list through a single task before the
+    df-cap filter can discard it. Every over-cap row is DISCARDED
+    anyway, so the window is unnecessary: a plain
+    ``groupBy(shingle).count()`` (combiner-friendly — a hot shingle
+    contributes at most one partial row per map task to the shuffle)
+    yields the tiny over-cap hot list, and a broadcast LEFT ANTI join
+    removes hot shingles map-side. Surviving rows have df <= df_cap by
+    construction — output identical to the window+filter, zero
+    unbounded partitions anywhere in the plan (planted-hot-shingle
+    test: tests/test_skew.py).
+
+    ``share=True`` lazily localCheckpoints the input so the hot-count
+    pass and the anti-join probe compute the (text-scan + shingle)
+    subtree once — pass False when ``sh`` is already a materialized
+    table (run_dedup's raw_shingles parquet). ``hot_broadcast=False``
+    is the escape hatch for a corpus whose over-cap vocabulary
+    outgrows a broadcast (AQE skew-join then splits the probe side;
+    the anti-join's per-key fan-out is 1 either way)."""
+    if share:
+        sh = sh.localCheckpoint(eager=False)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > df_cap)
+        .select("shingle")
     )
+    if hot_broadcast:
+        hot = F.broadcast(hot)
+    return sh.join(hot, "shingle", "left_anti")
 
 
 def raw_shingle_table(spark, sf, n: int = 3):
@@ -879,28 +912,40 @@ def decon_overlap(spark, sf, keep=None, broadcast_keep=True):
     train doc can raise a false leakage flag nor a removed eval doc
     clutter the report (r4 review).
 
-    Join-free fused-window shape (r6 rewrite of the r4 groupBy form —
-    decon was 42 s of the 157 s 1M-doc trainprep run): a train-side
-    self-join would re-execute the whole shingle subtree a second time
-    (Catalyst does not share plan subtrees), and the previous
-    per-shingle collect_list groupBy paid an ObjectHashAggregate plus
-    an explode over every surviving shingle row. Instead the df-cap
-    count and the has-kept-train flag are BOTH computed by the SAME
-    window spec — one WindowExec, one (shingle) exchange — and the
-    surviving kept eval rows go straight to the final (doc_id, split)
-    count. One scan, two exchanges total (plan-asserted). The keeper
+    Skew-proof stats+semi-join shape (r7, VERDICT r6 item 2 — replaces
+    the r6 fused window): the r6 form computed df and has_train with
+    ``count()/max() OVER (PARTITION BY shingle)``, and WindowExec
+    materializes each shingle's posting list in ONE task with no
+    map-side partial aggregation — a boilerplate 5-gram in 1% of a
+    web corpus puts ~10^10 rows through a single task before the
+    df-cap filter can discard them. Here every per-shingle quantity
+    comes from ONE hash aggregate with map-side partials (a hot
+    shingle contributes at most one partial (count, max) row per map
+    task to the shuffle), the qualifying shingle set (df <= cap AND
+    has kept-train member) is left-semi-joined back onto ONLY the
+    kept eval shingle stream (per-key build fan-out exactly 1, so AQE
+    skew-split can carve a hot probe partition — unlike a window),
+    and the final (doc_id, split) count is unchanged. split/kept are
+    computed per DOCUMENT before the explode (the r6 form paid the
+    md5 nibble + keeper probe per exploded row — ~100x more calls at
+    ~100 shingles/doc), which is also why the second scan reads only
+    eval docs (~25% of the corpus under the md5-nibble split). Two
+    scans by design: sharing the exploded subtree via localCheckpoint
+    measured 2.7x SLOWER at 1M docs (deserialized row storage
+    dominates — BENCH ab_decon_skewfix), while the second bounded
+    scan lands the whole rewrite at ~1.2x the r6 window with the
+    skew class eliminated. df stays defined over the FULL corpus —
+    keepers and non-keepers — exactly as before. The keeper
     restriction rides as a broadcast-left-join FLAG (map-side, ~16 MB
-    per 1M keeper ids) so the df count stays defined over the FULL
-    corpus while has_train/eval rows see only keepers — identical
-    output to the r4 inner-join-then-groupBy form, without re-
-    exchanging the shingle table by doc_id (``broadcast_keep=False``
-    is the >100M-keeper escape hatch; it falls back to a shuffle
-    join)."""
-    sh = _shingles(spark, sf, 5).select(
-        "doc_id", F.xxhash64("shingle").alias("shingle")
+    per 1M keeper ids; ``broadcast_keep=False`` is the >100M-keeper
+    escape hatch; it falls back to a shuffle join)."""
+    n = 5
+    toks = F.split("text", " ")
+    d = load(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & (F.size(toks) >= n)
     )
     nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    sh = sh.withColumn(
+    d = d.withColumn(
         "split",
         F.when(nib < "c", "train").when(nib < "e", "val").otherwise("test"),
     )
@@ -908,28 +953,29 @@ def decon_overlap(spark, sf, keep=None, broadcast_keep=True):
         keep_side = keep.select("doc_id").withColumn("kept", F.lit(True))
         if broadcast_keep:
             keep_side = F.broadcast(keep_side)
-        sh = sh.join(keep_side, "doc_id", "left").withColumn(
+        d = d.join(keep_side, "doc_id", "left").withColumn(
             "kept", F.coalesce("kept", F.lit(False))
         )
     else:
-        sh = sh.withColumn("kept", F.lit(True))
-    w = Window.partitionBy("shingle")
-    ann = sh.select(
-        "doc_id",
-        "split",
-        "kept",
-        F.count(F.lit(1)).over(w).alias("df"),
-        F.max(
-            F.when(F.col("kept") & (F.col("split") == "train"), 1).otherwise(0)
-        ).over(w).alias("has_train"),
+        d = d.withColumn("kept", F.lit(True))
+    shingle_arr = F.expr(
+        f"array_distinct(transform(sequence(1, size(split(text,' ')) - {n - 1}),"
+        f" i -> xxhash64(concat_ws(' ', slice(split(text,' '), i, {n})))))"
+    )
+    tk = (F.col("kept") & (F.col("split") == "train")).cast("int")
+    stats = (
+        d.select(tk.alias("tk"), F.explode(shingle_arr).alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.max("tk").alias("ht"))
+    )
+    good = stats.filter(
+        (F.col("df") <= JACCARD_DF_CAP) & (F.col("ht") == 1)
+    ).select("shingle")
+    ev = d.filter(F.col("kept") & (F.col("split") != "train")).select(
+        "doc_id", "split", F.explode(shingle_arr).alias("shingle")
     )
     return (
-        ann.filter(
-            (F.col("df") <= JACCARD_DF_CAP)
-            & (F.col("has_train") == 1)
-            & F.col("kept")
-            & (F.col("split") != "train")
-        )
+        ev.join(good, "shingle", "left_semi")
         .groupBy("doc_id", "split")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
@@ -1188,7 +1234,8 @@ def text_scrub(spark, sf):
 # DISTINCT documents — the cross-corpus duplicated-span signal of
 # [Lee et al., "Deduplicating Training Data Makes Language Models
 # Better", arXiv:2107.06499 — public paper]; within-doc repetition is
-# quality_repetition's job
+# quality_repetition's job. NB the skew-proof complement formulation
+# in quality_boilerplate relies on this being exactly 2.
 BOILERPLATE_DF = 2
 
 _BP_SQL = """
@@ -1215,25 +1262,44 @@ def quality_boilerplate(spark, sf):
     distinct 5-gram shingles that also occur in other documents
     (corpus shingle df >= BOILERPLATE_DF) — the boilerplate /
     template-text quality filter that within-doc quality_repetition
-    cannot see. Shape: one shingle scan, one (shingle) window whose
-    partitioning the per-doc groupBy does NOT reuse (different key) —
-    two exchanges, both on 8-byte ints (xxhash64 Spark-side; the
-    oracle counts its own raw strings — equality-only semantics, same
-    independence argument as capped_shingles)."""
+    cannot see.
+
+    Skew-proof complement formulation (r7, VERDICT r6 item 2): unlike
+    decon, every row reaches the output here, so the hot-list
+    anti-join trick cannot bound a ``count() OVER (PARTITION BY
+    shingle)`` window — one boilerplate shingle would still pin one
+    task. But with BOILERPLATE_DF == 2, "shared" is the complement of
+    "corpus-unique" (df == 1), and a df==1 shingle's single owner is
+    ``min(doc_id)`` — so ``n_shared = n_shingles - n_unique`` comes
+    entirely from combiner-friendly hash aggregates: a hot shingle
+    contributes at most one partial (count, min) row per map task to
+    the (shingle) shuffle, and the final per-doc join is 1-row-per-key
+    on both sides. Shingle keys are 8-byte ints (xxhash64 Spark-side;
+    the oracle counts its own raw strings — equality-only semantics,
+    same independence argument as capped_shingles); the lazy
+    localCheckpoint shares the shingle subtree between the totals and
+    uniqueness passes."""
     sh = _shingles(spark, sf, 5).select(
         "doc_id", F.xxhash64("shingle").alias("shingle")
+    ).localCheckpoint(eager=False)
+    totals = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
     )
-    w = Window.partitionBy("shingle")
-    d = sh.select("doc_id", F.count(F.lit(1)).over(w).alias("df"))
-    shared = F.sum(
-        F.when(F.col("df") >= BOILERPLATE_DF, 1).otherwise(0)
+    uniq = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("doc_id"))
+        .filter(F.col("df") < BOILERPLATE_DF)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
     )
-    return d.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        shared.cast("long").alias("n_shared"),
-        F.round(
-            shared.cast("double") / F.count(F.lit(1)), 4
-        ).alias("shared_frac"),
+    shared = F.col("n_shingles") - F.coalesce(F.col("n_unique"), F.lit(0))
+    return totals.join(uniq, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        shared.alias("n_shared"),
+        F.round(shared.cast("double") / F.col("n_shingles"), 4).alias(
+            "shared_frac"
+        ),
     )
 
 

@@ -156,10 +156,14 @@ def run_dedup_job(
             .distinct()
         )
         if materialize_shingles:
+            # share=False: raw_shingles is already a materialized
+            # parquet table — re-reading it for the hot-count pass is
+            # cheaper than duplicating it into local checkpoint blocks
             sh = capped_from_hashed(
                 spark.read.parquet(
                     os.path.join(out_dir, "raw_shingles")
-                ).select("doc_id", "shingle")
+                ).select("doc_id", "shingle"),
+                share=False,
             )
         else:
             sh = capped_shingles(spark, sf_dir, 3)

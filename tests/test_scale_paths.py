@@ -31,7 +31,10 @@ def test_jaccard_pair_generation_is_bounded(spark):
     df = QUERIES["dedup_ngram_jaccard"]["fn"](spark, SF)
     p = df._jdf.queryExecution().optimizedPlan().toString()
     assert "CartesianProduct" not in p
-    assert f"<= {JACCARD_DF_CAP}" in p, p
+    # r7 skew-proof cap: over-cap shingles are removed by a hot-list
+    # anti-join (df > cap filter + LeftAnti) before pair generation
+    assert f"> {JACCARD_DF_CAP}" in p, p
+    assert "LeftAnti" in p, p
     assert "collect_list" in p
     # the only joins left attach the two per-doc size relations
     assert p.count("Join Inner") <= 2, p

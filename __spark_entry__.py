@@ -41,6 +41,7 @@ _CHANGED_SINCE_GREEN: list[str] = [
     "decontaminate_overlap",  # r7: skew-proof stats+semi-join rewrite
     "dedup_ngram_jaccard",  # r7: df cap via hot-list anti-join
     "quality_boilerplate",  # r7: window-free complement formulation
+    "dedup_semantic",  # r7: block-local union-find replaces star rounds
 ]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).

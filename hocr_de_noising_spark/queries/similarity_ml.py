@@ -353,23 +353,10 @@ def _assign_cells_array(e, nlist: int, dim: int, n_assign: int = 1):
     return e.withColumn("cell", F.explode(cells_of("v")))
 
 
-def semantic_pairs(
-    emb,
-    threshold: float = SEM_COS_MIN,
-    nlist: int | None = None,
-    n_assign: int = 1,
-    vectorized: bool | None = None,
-):
-    """Cosine-near pairs (doc_a, doc_b, cosine) within fixed-centroid
-    cells, sub-blocked to EMBED_BLOCK_CAP. ``emb``: (vec_id,
-    embedding). Assignment is map-side (literal centroids); the only
-    shuffles are the (cell) rank window and the (cell, sub) self-join.
-
-    ``nlist=None`` uses the 8-cell oracle-parity quantizer. At scale,
-    pass nlist sized so cells stay under EMBED_BLOCK_CAP (SemDeDup's
-    own rule: cluster count grows with corpus size) — otherwise the
-    deterministic sub-blocking starts splitting true near-pairs across
-    sub-blocks, trading recall for the O(n * cap) bound."""
+def _assigned_blocks(emb, nlist: int | None = None, n_assign: int = 1):
+    """(vec_id, v, cell, sub) — map-side cell assignment plus the
+    EMBED_BLOCK_CAP sub-blocking window. Shared by the pair and the
+    block-local-components stages so both see identical blocks."""
     from hocr_de_noising_spark.queries.trainprep import EMBED_BLOCK_CAP
 
     e = emb.select(
@@ -389,14 +376,41 @@ def semantic_pairs(
             "vec_id", "v", F.expr(_ivf_cell_case()).alias("cell")
         )
     else:
-        dim = e.select(F.size("v").alias("n")).first().n
-        assigned = _assign_cells_array(e, nlist, dim, n_assign).select(
-            "vec_id", "v", "cell"
-        )
+        row = e.select(F.size("v").alias("n")).first()
+        if row is None:
+            # empty embeddings frame: .n on None would crash the whole
+            # job (reachable from run_trainprep when the keeper-
+            # restricted embeddings join is empty) — any cell id works,
+            # the frame has no rows to mis-assign
+            assigned = e.withColumn("cell", F.lit(0))
+        else:
+            assigned = _assign_cells_array(e, nlist, row.n, n_assign).select(
+                "vec_id", "v", "cell"
+            )
     w = Window.partitionBy("cell").orderBy("vec_id")
-    s = assigned.withColumn(
+    return assigned.withColumn(
         "sub", F.floor((F.row_number().over(w) - 1) / EMBED_BLOCK_CAP)
     )
+
+
+def semantic_pairs(
+    emb,
+    threshold: float = SEM_COS_MIN,
+    nlist: int | None = None,
+    n_assign: int = 1,
+    vectorized: bool | None = None,
+):
+    """Cosine-near pairs (doc_a, doc_b, cosine) within fixed-centroid
+    cells, sub-blocked to EMBED_BLOCK_CAP. ``emb``: (vec_id,
+    embedding). Assignment is map-side (literal centroids); the only
+    shuffles are the (cell) rank window and the (cell, sub) self-join.
+
+    ``nlist=None`` uses the 8-cell oracle-parity quantizer. At scale,
+    pass nlist sized so cells stay under EMBED_BLOCK_CAP (SemDeDup's
+    own rule: cluster count grows with corpus size) — otherwise the
+    deterministic sub-blocking starts splitting true near-pairs across
+    sub-blocks, trading recall for the O(n * cap) bound."""
+    s = _assigned_blocks(emb, nlist, n_assign)
     if vectorized is None:
         vectorized = nlist is not None
     if vectorized:
@@ -423,6 +437,17 @@ def semantic_pairs(
     )
 
 
+def _round_half_away(x):
+    """4-decimal round, half away from zero — Spark's ROUND (HALF_UP on
+    the magnitude). floor(x*1e4+0.5)/1e4 rounds half toward +inf, which
+    diverges for negative cosines (-0.00005 -> -0.0 vs -0.0001); every
+    current caller thresholds positive, but the parity claim should not
+    depend on that."""
+    import numpy as _np
+
+    return _np.copysign(_np.floor(_np.abs(x) * 1e4 + 0.5), x) / 1e4
+
+
 def _block_pairs_pandas(s, threshold: float):
     """Scale-path in-block pairwise cosine: one applyInPandas per
     (cell, sub) block computing the whole <=CAP x CAP similarity matrix
@@ -431,8 +456,8 @@ def _block_pairs_pandas(s, threshold: float):
     interpreted HOF cosine, and the groupBy reuses the sub-block
     window's (cell) partitioning so the block stage adds NO exchange.
     Zero-norm vectors get NaN rows and never pass the threshold (same
-    nullif contract as the HOF path). round-half-up matches Spark's
-    ROUND so the two paths emit identical rounded cosines."""
+    nullif contract as the HOF path). _round_half_away matches Spark's
+    ROUND on either sign so the two paths emit identical cosines."""
     import numpy as _np
     import pandas as _pd
 
@@ -451,11 +476,71 @@ def _block_pairs_pandas(s, threshold: float):
         order = _np.argsort(ids)  # doc_a < doc_b like the join form
         iu, ju = _np.triu_indices(len(ids), k=1)
         ii, jj = order[iu], order[ju]
-        cos = _np.floor(sims[ii, jj] * 1e4 + 0.5) / 1e4  # round half-up
+        cos = _round_half_away(sims[ii, jj])
         keep = ~_np.isnan(cos) & (cos >= threshold)
         return _pd.DataFrame(
             {"doc_a": ids[ii][keep], "doc_b": ids[jj][keep], "cosine": cos[keep]}
         )
+
+    return s.select("vec_id", "v", "cell", "sub").groupBy("cell", "sub").applyInPandas(
+        block, schema=out_schema
+    )
+
+
+def _block_components_pandas(s, threshold: float):
+    """(vec_id, sem_rep) computed entirely inside the per-(cell, sub)
+    block UDF. With single assignment every vector lives in exactly one
+    block and pairs only form within a block, so components CANNOT
+    cross blocks — a <=CAP-node union-find over the thresholded
+    similarity matrix replaces the iterative star rounds and their
+    localCheckpoint/count barriers. Same row contract as
+    connected_components over the pair stream: only vectors with >=1
+    near edge appear, sem_rep = min vec_id of the component."""
+    import numpy as _np
+    import pandas as _pd
+
+    id_type = dict(zip(s.columns, (f.dataType.simpleString() for f in s.schema)))[
+        "vec_id"
+    ]
+    out_schema = f"vec_id {id_type}, sem_rep {id_type}"
+
+    def block(pdf: _pd.DataFrame) -> _pd.DataFrame:
+        m = _np.array(pdf["v"].tolist(), dtype=_np.float64)
+        norms = _np.linalg.norm(m, axis=1)
+        with _np.errstate(divide="ignore", invalid="ignore"):
+            u = m / norms[:, None]
+        sims = u @ u.T
+        n = len(pdf)
+        iu, ju = _np.triu_indices(n, k=1)
+        cos = _round_half_away(sims[iu, ju])
+        keep = ~_np.isnan(cos) & (cos >= threshold)
+        ea, eb = iu[keep], ju[keep]
+        if len(ea) == 0:
+            return _pd.DataFrame({"vec_id": [], "sem_rep": []}).astype(
+                pdf["vec_id"].dtype
+            )
+        parent = list(range(n))
+
+        def find(x: int) -> int:
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in zip(ea.tolist(), eb.tolist()):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[rb] = ra
+        has_edge = _np.zeros(n, dtype=bool)
+        has_edge[ea] = True
+        has_edge[eb] = True
+        ids = pdf["vec_id"].to_numpy()
+        roots = _np.fromiter((find(i) for i in range(n)), dtype=_np.int64, count=n)
+        out = _pd.DataFrame({"vec_id": ids[has_edge], "root": roots[has_edge]})
+        out["sem_rep"] = out.groupby("root")["vec_id"].transform("min")
+        return out[["vec_id", "sem_rep"]]
 
     return s.select("vec_id", "v", "cell", "sub").groupBy("cell", "sub").applyInPandas(
         block, schema=out_schema
@@ -471,9 +556,18 @@ def semantic_prune(
 ):
     """(vec_id, sem_rep) for every vector in a semantic component —
     rows with sem_rep != vec_id are the prune set (SemDeDup keeps one
-    representative per cluster of cosine-near embeddings)."""
+    representative per cluster of cosine-near embeddings).
+
+    ``n_assign == 1`` (and vectorized not explicitly disabled) takes the
+    block-local path: components are confined to one (cell, sub) block
+    by construction, so union-find inside the block UDF gives the same
+    rows as the general star algorithm without its iterative rounds.
+    OR-amplified assignment (n_assign > 1) shares vec_ids across cells,
+    so its component graph needs the cross-block star path."""
     from hocr_de_noising_spark.queries.trainprep import connected_components
 
+    if n_assign == 1 and vectorized is not False:
+        return _block_components_pandas(_assigned_blocks(emb, nlist, 1), threshold)
     comps = connected_components(
         semantic_pairs(
             emb, threshold, nlist=nlist, n_assign=n_assign,

@@ -262,6 +262,16 @@ def run_trainprep_job(
     # item 8): the flag AND the table's existence are both lineage
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     has_embeddings = semantic_dedup and os.path.exists(emb_path)
+    if semantic_dedup and not has_embeddings:
+        # unlike media (auto-detected), this stage was explicitly
+        # requested — a silent no-op would look like a successful
+        # SemDeDup run that pruned nothing
+        print(
+            f"WARNING: --semantic-dedup requested but {emb_path} does not "
+            f"exist; the semantic stage is SKIPPED and the corpus is "
+            f"unpruned",
+            file=sys.stderr,
+        )
 
     p_hash = params_hash(
         input=sf_dir,

@@ -184,3 +184,59 @@ def test_semantic_array_assignment_matches_case_path(spark):
         ).collect()
     }
     assert p1 == p2 and len(p1) > 0
+
+
+def test_semantic_prune_block_local_matches_star(spark):
+    """The n_assign=1 fast path (union-find inside the block UDF) must
+    emit exactly the rows the general star-components path does —
+    components cannot cross (cell, sub) blocks under single
+    assignment, so the two are equivalent by construction, and this
+    pins that construction."""
+    from hocr_de_noising_spark.queries.similarity_ml import (
+        SEM_COS_MIN_ORACLE,
+        semantic_prune,
+    )
+    from hocr_de_noising_spark.queries.util import load
+
+    emb = load(spark, "/root/testdata/sf0.01", "embeddings")
+    fast = {
+        (r.vec_id, r.sem_rep)
+        for r in semantic_prune(
+            emb, SEM_COS_MIN_ORACLE, vectorized=True
+        ).collect()
+    }
+    star = {
+        (r.vec_id, r.sem_rep)
+        for r in semantic_prune(
+            emb, SEM_COS_MIN_ORACLE, vectorized=False
+        ).collect()
+    }
+    assert fast == star and len(fast) > 0
+
+
+def test_semantic_empty_embeddings_no_crash(spark):
+    """nlist-set assignment reads the vector dim from the data; an
+    empty embeddings frame (reachable from run_trainprep's keeper-
+    restricted join) must yield empty results, not an AttributeError
+    on .first()."""
+    from pyspark.sql import types as T
+
+    from hocr_de_noising_spark.queries.similarity_ml import (
+        semantic_pairs,
+        semantic_prune,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField(
+                    "embedding", T.ArrayType(T.FloatType())
+                ),
+            ]
+        ),
+    )
+    assert semantic_pairs(empty, 0.9, nlist=16).count() == 0
+    assert semantic_prune(empty, 0.9, nlist=16, n_assign=2).count() == 0
+    assert semantic_prune(empty, 0.9, nlist=16).count() == 0

@@ -1312,12 +1312,26 @@ def quality_boilerplate(spark, sf):
 PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 PII_IPV4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
 PII_PHONE = "\\+?[0-9][0-9() -]{6,}[0-9]"
+# precision mode: a phone must be 3+ digit GROUPS joined by single
+# space/dot/dash separators (>=8 digits total either way) — the
+# aggressive run-of-digits pattern above also eats ISBNs, year ranges
+# and coordinate strings, which this shape structurally cannot: a
+# 1-digit ISBN group breaks the chain, "1990-1998" has only 2 groups,
+# "2026-08-17" fails both group-width alternatives, "40.7128, -74.0060"
+# never links 3 groups. Still no lookaround (RE2 ∩ java.regex subset;
+# dash LAST in classes).
+PII_PHONE_STRICT = (
+    "\\+?\\(?[0-9]{2,4}\\)?([ .-][0-9]{2,4}){3}"
+    "|\\+?\\(?[0-9]{3,4}\\)?[ .-][0-9]{3,4}[ .-][0-9]{2,4}"
+)
 
-_PII_SQL = f"""
+
+def _pii_sql(phone: str) -> str:
+    return f"""
 SELECT doc_id,
-       regexp_replace(t2, '{PII_PHONE}', '[PHONE]', 'g') AS pii_scrubbed,
+       regexp_replace(t2, '{phone}', '[PHONE]', 'g') AS pii_scrubbed,
        n_email, n_ip,
-       CAST(len(regexp_extract_all(t2, '{PII_PHONE}')) AS INTEGER) AS n_phone
+       CAST(len(regexp_extract_all(t2, '{phone}')) AS INTEGER) AS n_phone
 FROM (
     SELECT doc_id, regexp_replace(t1, '{PII_IPV4}', '[IP]', 'g') AS t2,
            n_email,
@@ -1333,13 +1347,8 @@ FROM (
 """
 
 
-@register("pii_scrub", _PII_SQL)
-def pii_scrub(spark, sf):
-    """PII redaction pass for training corpora: mask emails, IPv4
-    addresses and phone-shaped digit runs with typed placeholders and
-    count each (the standard pre-training privacy scrub; patterns are
-    the engine-portable regex subset). Pure map-side JVM regexp — one
-    scan, zero shuffle, composes with text_scrub's digit masking."""
+def _pii_scrub_impl(spark, sf, strict_phone: bool = False):
+    phone = PII_PHONE_STRICT if strict_phone else PII_PHONE
     t = load(spark, sf, "documents").filter(F.col("text").isNotNull())
     t1 = F.regexp_replace("text", PII_EMAIL, "[EMAIL]")
     out = t.select(
@@ -1358,13 +1367,35 @@ def pii_scrub(spark, sf):
     )
     return out.select(
         "doc_id",
-        F.regexp_replace("t2", PII_PHONE, "[PHONE]").alias("pii_scrubbed"),
+        F.regexp_replace("t2", phone, "[PHONE]").alias("pii_scrubbed"),
         "n_email",
         "n_ip",
-        F.size(F.regexp_extract_all("t2", F.lit(PII_PHONE), F.lit(0))).alias(
+        F.size(F.regexp_extract_all("t2", F.lit(phone), F.lit(0))).alias(
             "n_phone"
         ),
     )
+
+
+@register("pii_scrub", _pii_sql(PII_PHONE))
+def pii_scrub(spark, sf, strict_phone: bool = False):
+    """PII redaction pass for training corpora: mask emails, IPv4
+    addresses and phone-shaped digit runs with typed placeholders and
+    count each (the standard pre-training privacy scrub; patterns are
+    the engine-portable regex subset). Pure map-side JVM regexp — one
+    scan, zero shuffle, composes with text_scrub's digit masking.
+    ``strict_phone`` trades recall for precision (see pii_scrub_strict,
+    the registered oracle-checked form of that mode)."""
+    return _pii_scrub_impl(spark, sf, strict_phone=strict_phone)
+
+
+@register("pii_scrub_strict", _pii_sql(PII_PHONE_STRICT))
+def pii_scrub_strict(spark, sf):
+    """pii_scrub with the precision phone pattern: >=3 separator-joined
+    digit groups so ISBNs, year ranges, dates and coordinates survive
+    unmasked (planted false-positive corpus in tests/test_ops.py pins
+    exactly that). Same email/IPv4 stages, same staging rule (each
+    count on the previous stage's text)."""
+    return _pii_scrub_impl(spark, sf, strict_phone=True)
 
 
 @register(

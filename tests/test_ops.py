@@ -132,7 +132,7 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         "lang_id", "quality_score", "text_scrub", "token_count",
         "quality_repetition", "doc_fingerprint", "dedup_exact",
         "sample_split", "decontaminate_overlap", "dedup_media_near",
-        "pii_scrub", "quality_boilerplate",
+        "pii_scrub", "pii_scrub_strict", "quality_boilerplate",
     ]
     for name in keys:
         sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()
@@ -190,6 +190,55 @@ def test_quality_repetition_matches_python_reference(spark, tmp_path):
         assert gn == n, (i, t)
         assert abs(gdw - dw) < 1e-9, (i, t, gdw, dw)
         assert abs(gdg - dg) < 1e-9, (i, t, gdg, dg)
+
+
+def test_pii_strict_phone_precision(spark, tmp_path):
+    """VERDICT r6 item 7: the aggressive phone pattern eats ISBNs,
+    year ranges, dates and coordinates; strict_phone is the measured
+    precision knob. Planted corpus pins exactly that: every
+    false-positive shape must survive strict mode UNMASKED while real
+    phone shapes are still caught, and aggressive mode must mask the
+    digit runs (proving the two modes actually differ on these)."""
+    false_positives = [
+        (1, "cited as ISBN 0-306-40615-2 in the appendix"),
+        (2, "catalogued under ISBN 978-0-306-40615-7 last year"),
+        (3, "active 1990 - 1998 then dormant"),
+        (4, "published 2026-08-17 in the gazette"),
+        # DMS coordinates: a space-joined digit run the aggressive
+        # pattern eats ("51 30 26") but only 2-digit groups x3, which
+        # strict's 4-group / 3-wide-group alternatives both reject
+        (5, "anchored at 51 30 26 N, 0 7 39 W on the chart"),
+    ]
+    true_phones = [
+        (6, "call 555-867-5309 after five"),
+        (7, "reach us at 212 555 0123 weekdays"),
+        (8, "office (020) 7946 0958 ext 4"),
+        # NB: dash form — the dotted French style "06.12.34.56.78" is
+        # (correctly) consumed by the earlier IPv4 stage
+        (9, "mobile 06-12-34-56-78 anytime"),
+    ]
+    sdir = tmp_path / "pii"
+    sdir.mkdir()
+    spark.createDataFrame(
+        [(i, t, "en", "pii", len(t)) for i, t in false_positives + true_phones],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(sdir / "documents.parquet"))
+    strict = {
+        r.doc_id: (r.pii_scrubbed, r.n_phone)
+        for r in QUERIES["pii_scrub_strict"]["fn"](spark, str(sdir)).collect()
+    }
+    loose = {
+        r.doc_id: (r.pii_scrubbed, r.n_phone)
+        for r in QUERIES["pii_scrub"]["fn"](spark, str(sdir)).collect()
+    }
+    for i, t in false_positives:
+        assert strict[i] == (t, 0), (i, t, strict[i])
+        # aggressive mode must actually mask these — otherwise the
+        # "precision knob" claim is vacuous on this corpus
+        assert loose[i][1] >= 1, (i, t, loose[i])
+    for i, t in true_phones:
+        assert strict[i][1] >= 1 and "[PHONE]" in strict[i][0], (
+            i, t, strict[i])
 
 
 def test_embedding_keys_on_adversarial_vectors(spark, tmp_path):

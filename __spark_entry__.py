@@ -42,6 +42,7 @@ _CHANGED_SINCE_GREEN: list[str] = [
     "dedup_ngram_jaccard",  # r7: df cap via hot-list anti-join
     "quality_boilerplate",  # r7: window-free complement formulation
     "dedup_semantic",  # r7: block-local union-find replaces star rounds
+    "pii_scrub",  # r7: refactored through _pii_scrub_impl (strict knob)
 ]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).
@@ -61,7 +62,7 @@ _LAST_GREEN = dict.fromkeys(
     [
         "agg_approx_distinct", "agg_cube", "agg_dedup_first",
         "agg_distinct", "agg_grouping_sets", "agg_percentile",
-        "agg_rollup", "ann_ivf", "ann_ivf_fixed", "ann_lsh_bucketed",
+        "agg_rollup", "ann_ivf_fixed", "ann_lsh_bucketed",
         "decontaminate_overlap", "dedup_components",
         "dedup_components_star", "dedup_embed_cosine", "dedup_exact",
         "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",

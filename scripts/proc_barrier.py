@@ -35,7 +35,21 @@ def release(
 
     ``ids`` (optional) aligns each proc with its worker id so a dead
     child can be checked EXACTLY for having gone ready; without ids the
-    check is count-conservative (see inline comment)."""
+    check is count-conservative (see inline comment) and a pre-ready
+    death can burn the full timeout whenever >= as many peers are
+    already ready — all in-repo callers pass ids; external callers get
+    a one-time warning so the degraded mode is never silent."""
+    if ids is None:
+        import warnings
+
+        warnings.warn(
+            "proc_barrier.release called without ids: dead-child "
+            "detection degrades to the count-conservative heuristic "
+            "(a pre-ready death may burn the full timeout); pass "
+            "ids=[worker_id, ...] aligned with procs",
+            stacklevel=2,
+        )
+
     def _kill_all():
         for p in procs:
             try:

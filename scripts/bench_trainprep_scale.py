@@ -37,7 +37,12 @@ CACHE = os.path.join(REPO, "tests", "fixtures", "cache")
 
 
 def write_corpus(
-    n_docs: int, n_media: int, kb: int, dup_frac: float, near_frac: float
+    n_docs: int,
+    n_media: int,
+    kb: int,
+    dup_frac: float,
+    near_frac: float,
+    n_emb: int = 0,
 ) -> str:
     import numpy as np
     import pyarrow as pa
@@ -48,7 +53,8 @@ def write_corpus(
         encode_fake_media_reencode,
     )
 
-    d = os.path.join(CACHE, f"prep_scale_{n_docs}x{n_media}x{kb}kb")
+    suffix = f"x{n_emb}e" if n_emb else ""
+    d = os.path.join(CACHE, f"prep_scale_{n_docs}x{n_media}x{kb}kb{suffix}")
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
         return d
@@ -160,6 +166,42 @@ def write_corpus(
         os.path.join(d, "documents.parquet"),
         row_group_size=8192,
     )
+    if n_emb:
+        # SemDeDup input: embeddings for a subset of the UNIQUE-text
+        # docs (the semantic stage only sees dedup keepers, and the
+        # unique range is keeper-by-construction). 5% of embedding
+        # holders are near-copies (cosine >= ~0.999 >> SEM_COS_MIN 0.9)
+        # of an earlier holder — the planted semantic-dup ground truth;
+        # everyone else gets an independent gaussian (64-dim random
+        # pairs concentrate near cosine 0, far below threshold).
+        from hocr_de_noising_spark.queries.trainprep import ANN_DIM
+
+        n_unique_for_emb = int(n_docs * 0.9)
+        emb_ids = np.sort(
+            rng.choice(n_unique_for_emb, size=n_emb, replace=False)
+        )
+        n_sem_dup = int(n_emb * 0.05)
+        vecs = rng.standard_normal((n_emb, ANN_DIM))
+        dup_pos = rng.choice(
+            np.arange(n_emb // 2, n_emb), size=n_sem_dup, replace=False
+        )
+        src_pos = rng.integers(0, n_emb // 2, size=n_sem_dup)
+        vecs[dup_pos] = vecs[src_pos] + 0.02 * rng.standard_normal(
+            (n_sem_dup, ANN_DIM)
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(emb_ids, type=pa.int64()),
+                    "embedding": pa.array(
+                        [row for row in vecs.astype(np.float32)],
+                        type=pa.list_(pa.float32()),
+                    ),
+                }
+            ),
+            os.path.join(d, "embeddings.parquet"),
+            row_group_size=8192,
+        )
     with open(marker, "w") as f:
         f.write("ok")
     return d
@@ -173,10 +215,21 @@ def main() -> None:
     ap.add_argument("--dup-frac", type=float, default=0.2)
     ap.add_argument("--near-frac", type=float, default=0.05)
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument(
+        "--emb", type=int, default=0,
+        help="embeddings for N docs; enables the semantic_dedup stage",
+    )
+    ap.add_argument(
+        "--semantic-nlist", type=int, default=None,
+        help="cells for the semantic quantizer (default emb/24, min 8)",
+    )
     args = ap.parse_args()
 
     t0 = time.time()
-    d = write_corpus(args.docs, args.media, args.kb, args.dup_frac, args.near_frac)
+    d = write_corpus(
+        args.docs, args.media, args.kb, args.dup_frac, args.near_frac,
+        n_emb=args.emb,
+    )
     gen_sec = round(time.time() - t0, 1)
 
     from hocr_de_noising_spark.session import get_spark
@@ -191,6 +244,13 @@ def main() -> None:
         decontaminate=True,
         media_near_dedup=True,
     )
+    if args.emb:
+        kwargs["semantic_dedup"] = True
+        # SemDeDup's k-grows-with-n rule: cells must stay under
+        # EMBED_BLOCK_CAP or sub-block splits start costing recall
+        kwargs["semantic_nlist"] = args.semantic_nlist or max(
+            8, args.emb // 24
+        )
 
     # A: headline full run
     out_a = os.path.join(CACHE, "prep_scale_out_a")
@@ -256,6 +316,12 @@ def main() -> None:
         "media_unique_planted": args.media
         - int(args.media * args.dup_frac)
         - int(args.media * args.near_frac),
+        "emb_rows": args.emb,
+        "semantic_nlist": kwargs.get("semantic_nlist"),
+        "semantic_pruned": s_a.get("semantic_pruned"),
+        # planted ground truth: 5% of embedding holders are
+        # near-copies; perfect pruning removes exactly those
+        "semantic_dups_planted": int(args.emb * 0.05) if args.emb else 0,
         "crash_injected": crashed,
         "resume_skipped": s_b["stages_skipped"],
         "resume_dedup_skipped": s_b["dedup"]["stages_skipped"],
@@ -267,9 +333,17 @@ def main() -> None:
     print(json.dumps(res))
     stamp = datetime.datetime.now().strftime("%Y-%m-%d %H:%M")
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
+        sem = (
+            f" / {args.emb} emb (semantic nlist="
+            f"{kwargs.get('semantic_nlist')}, pruned="
+            f"{res['semantic_pruned']} of {res['semantic_dups_planted']} planted)"
+            if args.emb
+            else ""
+        )
         f.write(
             f"\n- {stamp} trainprep SCALE run ({args.docs} docs / "
-            f"{args.media} media, media_near+decon ON, local[{args.cores}]): "
+            f"{args.media} media{sem}, media_near+decon"
+            f"{'+semantic' if args.emb else ''} ON, local[{args.cores}]): "
             f"end-to-end {res['value']} s = {res['docs_per_sec']} docs/s; "
             f"n_final={res['n_final']}, contaminated={res['n_contaminated']}, "
             f"media_kept={res['media_kept']}; crash-after-dedup resume skipped "

@@ -1,0 +1,218 @@
+"""HTML main-content extraction (boilerplate strip) — the north-rule's
+first clause (`BASELINE.json` B:14: "HTML boilerplate strip, PDF/layout
+parse, DOM heuristics") as a first-class, engine-portable operator.
+
+Algorithm (the published Boilerpipe NumWordsRulesClassifier shape
+[Kohlschütter et al., WSDM'10 "Boilerplate Detection using Shallow Text
+Features" — public paper], stateless simplification): drop
+script/style/comment subtrees, split the page into text blocks at
+block-level tag boundaries, compute per-block word count and link-word
+count, and keep blocks with >= MIN_WORDS words and link density <= 1/3.
+Navigation bars, sidebars and footers are short and link-dense; body
+paragraphs are long and link-sparse — the two features separate them
+without any DOM tree build.
+
+Scale design (100 TB):
+- pure map-side: one projection over the scan, zero shuffle, zero
+  Python (JVM regexp + higher-order array functions throughout; plan
+  asserted in tests/test_plans.py). Filters/column pruning push down
+  untouched.
+- the block split is linear in page bytes and allocation-bounded by
+  the page itself — no quadratic backtracking (every regex here is
+  backtrack-safe: single non-greedy span or a character class).
+- link density uses INTEGER arithmetic (lw * 3 <= nw), so the
+  keep-decision is bit-portable across engines and never hits float
+  rounding.
+
+The registry key builds a deterministic synthetic page around each
+document's text (planted nav/sidebar/footer boilerplate + a style and
+script block), IDENTICALLY in Spark and DuckDB, then extracts — the
+oracle checks the extraction, not the page builder. The library entry
+point :func:`extract_main_content` takes any DataFrame with a raw-HTML
+column (the real-corpus surface).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.queries.util import load, register
+
+MIN_WORDS = 8  # Boilerpipe's "number of words" rule threshold
+# link density <= 1/3, kept as integer math: lw * 3 <= nw
+LINK_DENSITY_NUM, LINK_DENSITY_DEN = 1, 3
+
+# every pattern below is in the RE2 ∩ java.util.regex portable subset:
+# no backreferences, no lookaround; (?is) inline flags and non-greedy
+# .*? are supported by both engines
+_DROP_SUBTREES = (
+    "(?is)<script[^>]*>.*?</script>",
+    "(?is)<style[^>]*>.*?</style>",
+    "(?s)<!--.*?-->",
+)
+_BLOCK_SPLIT = (
+    "(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article"
+    "|header|footer|nav|blockquote|br)[^>]*>"
+)
+_TAG = "<[^>]*>"
+_WS = "[ \\t\\r\\n]+"
+_LINK_INNER = "(?is)<a[^>]*>(.*?)</a>"
+
+
+def _spark_drop_subtrees(col):
+    for pat in _DROP_SUBTREES:
+        col = F.regexp_replace(col, pat, " ")
+    return col
+
+
+# SQL fragment: plain text of an HTML fragment `X` — tags to spaces,
+# whitespace collapsed, trimmed. Identical syntax in Spark SQL and
+# DuckDB up to the global flag, handled by the caller.
+def _txt_of(x: str, g: str) -> str:
+    return (
+        f"trim(regexp_replace(regexp_replace({x}, '{_TAG}', ' '{g}), "
+        f"'{_WS}', ' '{g}))"
+    )
+
+
+def _words_of(t: str) -> str:
+    # split on the single spaces left by the collapse; '' -> 0 words
+    return f"(CASE WHEN {t} = '' THEN 0 ELSE size(split({t}, ' ')) END)"
+
+
+def _spark_stats_expr() -> str:
+    """blocks -> array<struct<txt,nw,lw>> in Spark SQL (JVM HOFs)."""
+    txt = _txt_of("b", "")
+    link_words = (
+        f"aggregate(regexp_extract_all(b, '{_LINK_INNER}', 1), 0, "
+        f"(acc, a) -> acc + {_words_of(_txt_of('a', ''))})"
+    )
+    return (
+        f"transform(transform(bs, b -> struct({txt} AS txt, "
+        f"{link_words} AS lw)), s -> struct(s.txt AS txt, s.lw AS lw, "
+        f"{_words_of('s.txt')} AS nw))"
+    )
+
+
+_KEEP = f"s -> s.nw >= {MIN_WORDS} AND s.lw * {LINK_DENSITY_DEN} <= s.nw"
+
+
+def extract_main_content(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """Main-content extraction over a raw-HTML column: returns the
+    input plus (main_text, n_blocks, n_kept). Map-side only — safe to
+    compose before any shuffle-bearing stage."""
+    scrubbed = _spark_drop_subtrees(F.col(html_col))
+    bs = F.split(scrubbed, _BLOCK_SPLIT)
+    return (
+        df.withColumn("bs", bs)
+        .withColumn("stats", F.expr(_spark_stats_expr()))
+        .select(
+            *df.columns,
+            F.expr(
+                f"array_join(transform(filter(stats, {_KEEP}), "
+                f"s -> s.txt), '\\n')"
+            ).alias("main_text"),
+            F.expr("size(filter(stats, s -> s.nw > 0))")
+            .cast("int")
+            .alias("n_blocks"),
+            F.expr(f"size(filter(stats, {_KEEP}))").cast("int").alias("n_kept"),
+        )
+    )
+
+
+# -------------------------------------------------------- registry key --
+
+# deterministic synthetic page: nav / sidebar / footer boilerplate
+# (short, link-dense), a style+script subtree (must vanish), the doc
+# text as the main paragraph, and a substr(text, 1, 80) second
+# paragraph that straddles the MIN_WORDS threshold across docs so the
+# keep-rule's boundary is exercised by the corpus itself
+_PAGE_PARTS = [
+    '<html><head><title>d</title><style>.x{color:red}</style>'
+    "<script>var a=1;</script></head><body>"
+    '<div id="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/b">Contact</a></div><p>',
+    "</p>"
+    '<div class="side"><a href="/x">More</a> <a href="/y">Other</a> '
+    "links</div><p>",
+    "</p>"
+    '<div id="footer">(c) 2026 example <a href="/p">privacy</a> '
+    '<a href="/t">terms</a></div></body></html>',
+]
+
+
+def _duck_page_expr() -> str:
+    p = [x.replace("'", "''") for x in _PAGE_PARTS]
+    return (
+        f"'{p[0]}' || text || '{p[1]}' || substr(text, 1, 80) || '{p[2]}'"
+    )
+
+
+def _duck_sql() -> str:
+    drop = "html"
+    for pat in _DROP_SUBTREES:
+        drop = f"regexp_replace({drop}, '{pat}', ' ', 'g')"
+    txt = (
+        "trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), "
+        "'[ \\t\\r\\n]+', ' ', 'g'))"
+    )
+    atxt = (
+        "trim(regexp_replace(regexp_replace(a, '<[^>]*>', ' ', 'g'), "
+        "'[ \\t\\r\\n]+', ' ', 'g'))"
+    )
+    keep = f"s -> s.nw >= {MIN_WORDS} AND s.lw * {LINK_DENSITY_DEN} <= s.nw"
+    return f"""
+WITH pages AS (
+  SELECT doc_id, {_duck_page_expr()} AS html
+  FROM documents WHERE text IS NOT NULL
+), blk AS (
+  SELECT doc_id,
+         regexp_split_to_array({drop}, '{_BLOCK_SPLIT}') AS bs
+  FROM pages
+), st AS (
+  SELECT doc_id,
+    list_transform(
+      list_transform(bs, b -> struct_pack(
+        txt := {txt},
+        lw := coalesce(list_sum(list_transform(
+          regexp_extract_all(b, '{_LINK_INNER}', 1),
+          a -> CASE WHEN {atxt} = '' THEN 0
+               ELSE len(string_split({atxt}, ' ')) END)), 0)
+      )),
+      s -> struct_pack(txt := s.txt, lw := s.lw,
+        nw := CASE WHEN s.txt = '' THEN 0
+              ELSE len(string_split(s.txt, ' ')) END)
+    ) AS stats
+  FROM blk
+)
+SELECT doc_id,
+  -- DuckDB's array_to_string returns NULL on an empty list where
+  -- Spark's array_join returns '' — normalize to Spark's behavior
+  coalesce(array_to_string(list_transform(list_filter(stats, {keep}),
+                                          s -> s.txt), chr(10)),
+           '') AS main_text,
+  CAST(len(list_filter(stats, s -> s.nw > 0)) AS INTEGER) AS n_blocks,
+  CAST(len(list_filter(stats, {keep})) AS INTEGER) AS n_kept
+FROM st
+"""
+
+
+@register("html_main_content", _duck_sql())
+def html_main_content(spark, sf):
+    """Boilerplate-strip / main-content extraction over synthetic pages
+    built from the documents table (see module docstring): planted
+    nav/sidebar/footer must be dropped, the body paragraphs kept, the
+    script/style subtrees erased — checked block-for-block against the
+    DuckDB oracle."""
+    t = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    page = F.concat(
+        F.lit(_PAGE_PARTS[0]),
+        F.col("text"),
+        F.lit(_PAGE_PARTS[1]),
+        F.substring("text", 1, 80),
+        F.lit(_PAGE_PARTS[2]),
+    )
+    return extract_main_content(
+        t.select("doc_id", page.alias("html")), "html"
+    ).select("doc_id", "main_text", "n_blocks", "n_kept")

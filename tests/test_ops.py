@@ -133,6 +133,7 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         "quality_repetition", "doc_fingerprint", "dedup_exact",
         "sample_split", "decontaminate_overlap", "dedup_media_near",
         "pii_scrub", "pii_scrub_strict", "quality_boilerplate",
+        "html_main_content",
     ]
     for name in keys:
         sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()
@@ -239,6 +240,54 @@ def test_pii_strict_phone_precision(spark, tmp_path):
     for i, t in true_phones:
         assert strict[i][1] >= 1 and "[PHONE]" in strict[i][0], (
             i, t, strict[i])
+
+
+def test_html_main_content_planted_boilerplate(spark):
+    """Library-surface check on hand-built pages with KNOWN block
+    roles: body paragraphs survive, nav/sidebar/footer (short +
+    link-dense) are dropped, script/style/comment subtrees vanish
+    entirely (their text must not leak into any block), and the
+    link-density rule kills a long-but-all-links block that the word
+    count alone would keep."""
+    from hocr_de_noising_spark.queries.web_extract import (
+        extract_main_content,
+    )
+
+    body = " ".join(f"word{i}" for i in range(30))
+    linkfarm = " ".join(
+        f'<a href="/l{i}">anchor{i} text{i}</a>' for i in range(15)
+    )
+    pages = [
+        (
+            1,
+            "<html><head><script>var secret = 'LEAK';</script>"
+            "<style>.hidden{content:'LEAK'}</style></head><body>"
+            "<!-- LEAK comment -->"
+            '<div id="nav"><a href="/">Home</a> <a href="/a">About</a></div>'
+            f"<p>{body}</p>"
+            f"<div>{linkfarm}</div>"
+            '<div id="footer">(c) example <a href="/t">terms</a></div>'
+            "</body></html>",
+        ),
+        # degenerate: no block tags at all -> one block, kept iff long
+        (2, f"plain text with no markup {body}"),
+        (3, ""),  # empty page
+    ]
+    out = {
+        r.doc_id: r
+        for r in extract_main_content(
+            spark.createDataFrame(pages, "doc_id long, html string")
+        ).collect()
+    }
+    assert out[1].main_text == body  # ONLY the body paragraph survives
+    assert "LEAK" not in out[1].main_text
+    assert "Home" not in out[1].main_text
+    assert "anchor0" not in out[1].main_text  # link farm dropped
+    assert out[1].n_kept == 1
+    # link farm + nav + footer + body are the non-empty blocks
+    assert out[1].n_blocks == 4
+    assert out[2].main_text.endswith(body) and out[2].n_kept == 1
+    assert out[3].main_text == "" and out[3].n_blocks == 0
 
 
 def test_embedding_keys_on_adversarial_vectors(spark, tmp_path):

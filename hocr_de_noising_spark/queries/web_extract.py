@@ -136,16 +136,22 @@ _PAGE_PARTS = [
     "</p>"
     '<div class="side"><a href="/x">More</a> <a href="/y">Other</a> '
     "links</div><p>",
+    # one ABSOLUTE link whose domain is doc-dependent (doc_id % 10) —
+    # gives html_links / link_domains_topk a non-degenerate domain
+    # distribution; anchor text unchanged so the extraction keys see
+    # the same blocks
     "</p>"
     '<div id="footer">(c) 2026 example <a href="/p">privacy</a> '
-    '<a href="/t">terms</a></div></body></html>',
+    '<a href="https://s',
+    '.example.com/t">terms</a></div></body></html>',
 ]
 
 
 def _duck_page_expr() -> str:
     p = [x.replace("'", "''") for x in _PAGE_PARTS]
     return (
-        f"'{p[0]}' || text || '{p[1]}' || substr(text, 1, 80) || '{p[2]}'"
+        f"'{p[0]}' || text || '{p[1]}' || substr(text, 1, 80) || "
+        f"'{p[2]}' || CAST(doc_id % 10 AS VARCHAR) || '{p[3]}'"
     )
 
 
@@ -198,13 +204,7 @@ FROM st
 """
 
 
-@register("html_main_content", _duck_sql())
-def html_main_content(spark, sf):
-    """Boilerplate-strip / main-content extraction over synthetic pages
-    built from the documents table (see module docstring): planted
-    nav/sidebar/footer must be dropped, the body paragraphs kept, the
-    script/style subtrees erased — checked block-for-block against the
-    DuckDB oracle."""
+def _spark_pages(spark, sf):
     t = load(spark, sf, "documents").filter(F.col("text").isNotNull())
     page = F.concat(
         F.lit(_PAGE_PARTS[0]),
@@ -212,7 +212,109 @@ def html_main_content(spark, sf):
         F.lit(_PAGE_PARTS[1]),
         F.substring("text", 1, 80),
         F.lit(_PAGE_PARTS[2]),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(_PAGE_PARTS[3]),
     )
-    return extract_main_content(
-        t.select("doc_id", page.alias("html")), "html"
-    ).select("doc_id", "main_text", "n_blocks", "n_kept")
+    return t.select("doc_id", page.alias("html"))
+
+
+@register("html_main_content", _duck_sql())
+def html_main_content(spark, sf):
+    """Boilerplate-strip / main-content extraction over synthetic pages
+    built from the documents table (see module docstring): planted
+    nav/sidebar/footer must be dropped, the body paragraphs kept, the
+    script/style subtrees erased — checked block-for-block against the
+    DuckDB oracle."""
+    return extract_main_content(_spark_pages(spark, sf), "html").select(
+        "doc_id", "main_text", "n_blocks", "n_kept"
+    )
+
+
+# ------------------------------------------------------- link graph --
+
+_LINK_ELEM = "(?is)<a[^>]*>.*?</a>"
+_HREF = '(?is)href="([^"]*)"'
+
+
+def extract_links(df: DataFrame, html_col: str = "html") -> DataFrame:
+    """(doc_id, href, anchor) rows — the link-graph construction
+    primitive for a web corpus. Map-side extract + one generator
+    (explode), no shuffle: at 100 TB the link table lands partitioned
+    exactly like its source scan, ready for a target-keyed exchange
+    only if the consumer needs one (e.g. in-degree counting)."""
+    elems = F.expr(
+        f"regexp_extract_all({html_col}, '{_LINK_ELEM}', 0)"
+    )
+    e = df.select(
+        *df.columns, F.explode(elems).alias("elem")
+    )
+    anchor = _txt_of("elem", "")
+    return e.select(
+        *df.columns,
+        F.expr(f"regexp_extract(elem, '{_HREF}', 1)").alias("href"),
+        F.expr(anchor).alias("anchor"),
+    )
+
+
+_LINKS_CTE = f"""
+WITH pages AS (
+  SELECT doc_id, {{page}} AS html
+  FROM documents WHERE text IS NOT NULL
+), links AS (
+  SELECT doc_id,
+         regexp_extract(elem, '{_HREF}', 1) AS href,
+         trim(regexp_replace(regexp_replace(elem, '<[^>]*>', ' ', 'g'),
+                             '[ \\t\\r\\n]+', ' ', 'g')) AS anchor
+  FROM (SELECT doc_id,
+               unnest(regexp_extract_all(html, '{_LINK_ELEM}', 0)) AS elem
+        FROM pages)
+)
+"""
+
+
+@register(
+    "html_links",
+    _LINKS_CTE.format(page=_duck_page_expr())
+    + "SELECT doc_id, href, anchor FROM links",
+)
+def html_links(spark, sf):
+    """Per-page link extraction over the synthetic pages: every <a>
+    element becomes a (doc_id, href, anchor) row."""
+    return extract_links(_spark_pages(spark, sf), "html").select(
+        "doc_id", "href", "anchor"
+    )
+
+
+@register(
+    "link_domains_topk",
+    _LINKS_CTE.format(page=_duck_page_expr())
+    + """
+SELECT regexp_extract(href, '^https?://([^/]+)', 1) AS domain,
+       count(*) AS n_links,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM links
+WHERE href LIKE 'http%'
+GROUP BY 1 ORDER BY n_links DESC, domain LIMIT 10""",
+)
+def link_domains_topk(spark, sf):
+    """Top-10 outbound domains by link count (+ distinct referring
+    docs) — the blocklist/allowlist feeder every web-corpus pipeline
+    runs. Two-level hash aggregate with map-side partials; the top-k
+    is a TakeOrdered, never a global sort."""
+    links = extract_links(_spark_pages(spark, sf), "html")
+    return (
+        links.filter(F.col("href").startswith("http"))
+        .select(
+            F.regexp_extract("href", "^https?://([^/]+)", 1).alias(
+                "domain"
+            ),
+            "doc_id",
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_links").desc(), "domain")
+        .limit(10)
+    )

@@ -1,0 +1,304 @@
+"""Corpus-level text statistics and line-granular dedup — the
+training-data curation operators that work on sub-document units
+(lines, tokens) rather than whole documents.
+
+- ``dedup_lines``: repeated-line removal in the CCNet shape (Wenzek et
+  al., arXiv:1911.00359 — public paper: dedup at the line/paragraph
+  level BEFORE document-level dedup, since web boilerplate repeats in
+  otherwise-distinct pages). A line whose corpus document-frequency
+  exceeds ``LINE_DF_CAP`` is dropped from every document.
+- ``vocab_topk``: corpus vocabulary head — top-k tokens by document
+  frequency (the tokenizer-training / stopword-derivation feeder).
+- ``quality_perplexity``: unigram-LM negative log-likelihood per
+  document (the quality-scoring shape CCNet implements with KenLM;
+  here the LM is the corpus's own unigram distribution, which keeps
+  the key exactly oracle-checkable).
+
+Scale design (100 TB):
+- line df and vocab counts are HASH AGGREGATES with map-side partials
+  (groupBy(line,[doc]) -> groupBy(line)); no window ever partitions by
+  a potentially-hot line/token, so the r6 shingle-skew class cannot
+  reappear here (VERDICT r6 item 2 discipline).
+- the over-cap hot-line list is tiny by construction (only lines
+  repeated across > cap docs) and is removed via a BROADCAST left-anti
+  join — map-side, no shuffle of the big exploded stream beyond the
+  one reassembly exchange.
+- perplexity sums are BIGINT micro-nats (round(-ln p * 1e6)): integer
+  addition is exact and order-independent, so the result is
+  bit-identical regardless of partitioning/merge order — float sums
+  across an unordered shuffle would not be.
+- the unigram vocab is an aggregate output small enough to broadcast
+  (|vocab| grows ~Heaps-law sublinearly; the library surface takes a
+  ``top_v`` cap + OOV floor for corpora where it does not).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.queries.util import load, register
+
+LINE_TOKENS = 8  # synthetic line width (tokens) for the registry keys
+LINE_DF_CAP = 4  # a line present in more docs than this is boilerplate
+VOCAB_K = 50
+
+# planted boilerplate lines (the nav/footer strings a crawler sees on
+# every page of a site) — appended/prepended deterministically in BOTH
+# engines so the registry key's corpus actually contains cross-doc
+# repeated lines
+_BP_HEAD = "cookie notice we use cookies on this site"
+_BP_MID = "subscribe to our newsletter for updates today"
+_BP_TAIL = "all rights reserved by the site owner"
+
+
+# ------------------------------------------------------ library API --
+
+
+def dedup_repeated_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    df_cap: int = LINE_DF_CAP,
+    hot_broadcast: bool = True,
+) -> DataFrame:
+    """Remove every line whose corpus document-frequency exceeds
+    ``df_cap`` (CCNet line-level dedup). Returns one row per input row:
+    (id, n_lines, n_kept, clean_text).
+
+    Physical shape: posexplode -> two-level hash aggregate for line df
+    (map-side partials at both levels; NO window-by-line) -> broadcast
+    left-anti removal of the tiny hot list -> one groupBy(id)
+    reassembly with order restored via sort_array on (pos, line).
+    ``hot_broadcast=False`` falls back to a shuffle anti-join for
+    corpora whose over-cap line vocabulary outgrows a broadcast.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.size(F.split(text_col, "\n")).alias("n_lines"),
+        F.posexplode(F.split(text_col, "\n")).alias("pos", "line"),
+    )
+    # df per line: dedup (line, doc) then count docs — both stages are
+    # combiner-friendly hash aggregates, no per-line materialization
+    line_df = (
+        lines.groupBy("line", id_col)
+        .agg(F.lit(1).alias("_one"))
+        .groupBy("line")
+        .count()
+    )
+    hot = line_df.filter(F.col("count") > df_cap).select("line")
+    if hot_broadcast:
+        hot = F.broadcast(hot)
+    kept = lines.join(hot, "line", "left_anti")
+    reassembled = kept.groupBy(id_col).agg(
+        F.first("n_lines").alias("n_lines"),
+        F.count("*").cast("int").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )
+    # a document whose every line was hot still exists (empty output)
+    base = df.select(F.col(id_col), F.size(F.split(text_col, "\n")).alias("_nl"))
+    return base.join(reassembled, id_col, "left").select(
+        id_col,
+        F.coalesce("n_lines", F.col("_nl")).cast("int").alias("n_lines"),
+        F.coalesce("n_kept", F.lit(0)).cast("int").alias("n_kept"),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )
+
+
+def unigram_nll(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_v: int | None = None,
+    oov_floor: float = 1e-9,
+) -> DataFrame:
+    """Per-document mean unigram negative log-likelihood (nats) under
+    the corpus's own unigram LM — the CCNet quality-scoring shape with
+    an exactly-reproducible LM. Returns (id, n_tokens, nll).
+
+    The per-token -ln p is quantized to BIGINT micro-nats before
+    summation so the aggregate is exact and order-independent (float
+    partial sums across an unordered shuffle are not bit-stable).
+    ``top_v`` caps the broadcast vocabulary; out-of-vocab tokens score
+    ``-ln(oov_floor)`` (web-scale corpora; None = exact full vocab).
+    """
+    toks = df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok"))
+    vocab = toks.groupBy("tok").count()
+    if top_v is not None:
+        vocab = vocab.orderBy(F.col("count").desc(), "tok").limit(top_v)
+    total = toks.count()  # one scalar on the driver (documented collect)
+    scored = vocab.select(
+        "tok",
+        F.round(-F.log(F.col("count") / F.lit(float(total))) * 1e6)
+        .cast("bigint")
+        .alias("nll_micro"),
+    )
+    oov_micro = int(round(-math.log(oov_floor) * 1e6))
+    joined = toks.join(F.broadcast(scored), "tok", "left")
+    return joined.groupBy(id_col).agg(
+        F.count("*").cast("int").alias("n_tokens"),
+        F.round(
+            F.sum(F.coalesce("nll_micro", F.lit(oov_micro))) / 1e6 / F.count("*"),
+            4,
+        ).alias("nll"),
+    )
+
+
+# --------------------------------------------------- registry keys --
+
+# deterministic lined text, identical in Spark and DuckDB: content
+# tokens chunked into LINE_TOKENS-token lines, plus planted boilerplate
+# lines on doc_id strides (head on %4, mid on %3, tail on %5)
+
+
+def _spark_lined(spark: SparkSession, sf: str) -> DataFrame:
+    t = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    content = F.expr(
+        f"transform(sequence(1, cast(ceil(size(split(text, ' ')) / {LINE_TOKENS}.0)"
+        f" as int)), i -> array_join(slice(split(text, ' '),"
+        f" (i-1)*{LINE_TOKENS}+1, {LINE_TOKENS}), ' '))"
+    )
+    lined = F.concat(
+        F.expr(f"if(doc_id % 4 = 0, array('{_BP_HEAD}'), array())"),
+        content,
+        F.expr(f"if(doc_id % 3 = 0, array('{_BP_MID}'), array())"),
+        F.expr(f"if(doc_id % 5 = 0, array('{_BP_TAIL}'), array())"),
+    )
+    return t.select("doc_id", F.array_join(lined, "\n").alias("text"))
+
+
+_DUCK_LINED = f"""
+lined AS (
+  SELECT doc_id,
+         array_to_string(
+           (CASE WHEN doc_id % 4 = 0 THEN ['{_BP_HEAD}']
+                 ELSE [] END)
+           || list_transform(
+                generate_series(1, CAST(ceil(len(t) / {LINE_TOKENS}.0) AS INT)),
+                i -> array_to_string(
+                       t[(i-1)*{LINE_TOKENS}+1 : least(i*{LINE_TOKENS}, len(t))],
+                       ' '))
+           || (CASE WHEN doc_id % 3 = 0 THEN ['{_BP_MID}'] ELSE [] END)
+           || (CASE WHEN doc_id % 5 = 0 THEN ['{_BP_TAIL}'] ELSE [] END),
+           chr(10)) AS text
+  FROM (SELECT doc_id, string_split(text, ' ') AS t
+        FROM documents WHERE text IS NOT NULL)
+)
+"""
+
+_DEDUP_LINES_SQL = f"""
+WITH {_DUCK_LINED},
+lines AS (
+  SELECT doc_id, len(l) AS n_lines, u.pos AS pos, u.line AS line
+  FROM (
+    SELECT doc_id, l,
+           unnest(list_transform(generate_series(1, len(l)),
+                  i -> struct_pack(pos := i - 1, line := l[i]))) AS u
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined))
+),
+hot AS (
+  SELECT line FROM (
+    SELECT line, count(*) AS df
+    FROM (SELECT DISTINCT line, doc_id FROM lines)
+    GROUP BY line)
+  WHERE df > {LINE_DF_CAP}
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)
+),
+reassembled AS (
+  SELECT doc_id, any_value(n_lines) AS n_lines,
+         CAST(count(*) AS INT) AS n_kept,
+         array_to_string(list_transform(
+           list_sort(list(struct_pack(pos := pos, line := line))),
+           s -> s.line), chr(10)) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(coalesce(r.n_lines, b._nl) AS INT) AS n_lines,
+       CAST(coalesce(r.n_kept, 0) AS INT) AS n_kept,
+       coalesce(r.clean_text, '') AS clean_text
+FROM (SELECT doc_id, len(string_split(text, chr(10))) AS _nl FROM lined) b
+LEFT JOIN reassembled r USING (doc_id)
+"""
+
+
+@register("dedup_lines", _DEDUP_LINES_SQL)
+def dedup_lines(spark, sf):
+    """CCNet-style repeated-line removal over deterministically lined
+    documents: the planted head/mid/tail boilerplate lines (df ~ n/4,
+    n/3, n/5 >> cap) must vanish from every document, the unique
+    content lines must survive in order."""
+    return dedup_repeated_lines(_spark_lined(spark, sf))
+
+
+_VOCAB_SQL = f"""
+SELECT tok,
+       count(*) AS tf,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents WHERE text IS NOT NULL)
+GROUP BY tok
+ORDER BY df DESC, tf DESC, tok
+LIMIT {VOCAB_K}
+"""
+
+
+@register("vocab_topk", _VOCAB_SQL)
+def vocab_topk(spark, sf):
+    """Corpus vocabulary head: top-{K} tokens by document frequency
+    (ties: total frequency, then token). Two-level hash aggregate with
+    map-side partials; the k-cut is a TakeOrdered, never a global
+    sort."""
+    toks = (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(
+            F.count("*").alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+        .orderBy(F.col("df").desc(), F.col("tf").desc(), "tok")
+        .limit(VOCAB_K)
+    )
+
+
+_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents WHERE text IS NOT NULL
+),
+vocab AS (
+  SELECT tok,
+         CAST(round(-ln(count(*) / (SELECT CAST(count(*) AS DOUBLE)
+                                    FROM toks)) * 1e6) AS BIGINT)
+           AS nll_micro
+  FROM toks GROUP BY tok
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_tokens,
+       round(sum(nll_micro) / 1e6 / count(*), 4) AS nll
+FROM toks JOIN vocab USING (tok)
+GROUP BY doc_id
+"""
+
+
+@register("quality_perplexity", _PPL_SQL)
+def quality_perplexity(spark, sf):
+    """Unigram-LM quality score: per-document mean negative
+    log-likelihood in nats under the corpus's own unigram
+    distribution. BIGINT micro-nat summation keeps the aggregate
+    bit-stable across partitionings (module docstring)."""
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return unigram_nll(docs)

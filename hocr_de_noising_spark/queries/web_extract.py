@@ -285,6 +285,156 @@ def html_links(spark, sf):
     )
 
 
+# ------------------------------------------------- URL canonicalize --
+
+# Canonical form (the crawl-dedup normalization every web pipeline runs
+# before URL-keyed dedup/frontier checks): lowercase scheme+host, drop
+# a leading "www.", drop default ports (:80 http / :443 https), strip
+# the fragment, drop utm_* tracking params, sort the surviving query
+# params, strip trailing path slashes. Implemented as component
+# EXTRACTION + REBUILD — no replacement backreferences, whose syntax
+# differs between java.util.regex ($1) and RE2 (\\1), so every regex
+# stays in the portable subset. Pure map-side: zero shuffle, zero
+# Python.
+
+_U_SCHEME = "^([a-zA-Z]+)://"
+_U_HOST = "^[a-zA-Z]+://([^/:?#]+)"
+_U_PORT = "^[a-zA-Z]+://[^/:?#]+:([0-9]+)"
+_U_PATH = "^[a-zA-Z]+://[^/?#]+([^?#]*)"
+_U_QUERY = "\\?([^#]*)"
+
+
+def canonicalize_url(url):
+    """Column expression: canonical form of an absolute http(s) URL.
+    Composable anywhere (map-side only)."""
+    scheme = F.lower(F.regexp_extract(url, _U_SCHEME, 1))
+    host = F.regexp_replace(
+        F.lower(F.regexp_extract(url, _U_HOST, 1)), "^www\\.", ""
+    )
+    port = F.regexp_extract(url, _U_PORT, 1)
+    keep_port = ~(
+        (port == "")
+        | ((scheme == F.lit("http")) & (port == "80"))
+        | ((scheme == F.lit("https")) & (port == "443"))
+    )
+    path = F.regexp_replace(F.regexp_extract(url, _U_PATH, 1), "/+$", "")
+    q = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.regexp_extract(url, _U_QUERY, 1), "&"),
+                lambda x: (x != "") & ~x.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit("")),
+    )
+
+
+# deterministic messy-URL corpus: four variants cycling on doc_id, with
+# the path id folded mod 97 so distinct docs collide post-canon (the
+# situation URL dedup exists for)
+_DUCK_URLS = """
+urls AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM:443/Path/'
+                  || CAST(doc_id % 97 AS VARCHAR)
+                  || '/?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                  || '#top'
+      WHEN 1 THEN 'http://example.com:80/path/'
+                  || CAST(doc_id % 97 AS VARCHAR)
+                  || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_campaign=x'
+      WHEN 2 THEN 'https://sub.Example.com:8443/path/'
+                  || CAST(doc_id % 97 AS VARCHAR) || '/'
+      ELSE 'https://example.com/path/' || CAST(doc_id % 97 AS VARCHAR)
+           || '?b=2&utm_medium=em&a=1'
+    END AS url
+  FROM documents
+)
+"""
+
+_CANON_DUCK = """
+lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) || '://'
+|| regexp_replace(lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+                  '^www\\.', '')
+|| CASE WHEN regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) = ''
+          OR (lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) = 'http'
+              AND regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) = '80')
+          OR (lower(regexp_extract(url, '^([a-zA-Z]+)://', 1)) = 'https'
+              AND regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) = '443')
+        THEN ''
+        ELSE ':' || regexp_extract(url, '^[a-zA-Z]+://[^/:?#]+:([0-9]+)', 1) END
+|| regexp_replace(regexp_extract(url, '^[a-zA-Z]+://[^/?#]+([^?#]*)', 1),
+                  '/+$', '')
+|| CASE WHEN coalesce(array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+            x -> x != '' AND NOT starts_with(x, 'utm_'))), '&'), '') = ''
+        THEN ''
+        ELSE '?' || array_to_string(list_sort(list_filter(
+            string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+            x -> x != '' AND NOT starts_with(x, 'utm_'))), '&') END
+"""
+
+
+@register(
+    "url_canonicalize",
+    f"WITH {_DUCK_URLS} SELECT doc_id, url, {_CANON_DUCK} AS canon_url FROM urls",
+)
+def url_canonicalize(spark, sf):
+    """URL canonicalization over the deterministic messy-URL corpus:
+    case/port/fragment/tracking-param/trailing-slash variants of the
+    same resource must collapse to one canonical string."""
+    t = load(spark, sf, "documents")
+    pid = (F.col("doc_id") % 97).cast("string")
+    qid = (F.col("doc_id") % 7).cast("string")
+    url = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.lit("HTTPS://WWW.Example.COM:443/Path/"),
+                pid,
+                F.lit("/?utm_source=feed&id="),
+                qid,
+                F.lit("#top"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("http://example.com:80/path/"),
+                pid,
+                F.lit("?id="),
+                qid,
+                F.lit("&utm_campaign=x"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit("https://sub.Example.com:8443/path/"), pid, F.lit("/")
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://example.com/path/"),
+                pid,
+                F.lit("?b=2&utm_medium=em&a=1"),
+            )
+        )
+    )
+    urls = t.select("doc_id", url.alias("url"))
+    return urls.select(
+        "doc_id", "url", canonicalize_url(F.col("url")).alias("canon_url")
+    )
+
+
 @register(
     "link_domains_topk",
     _LINKS_CTE.format(page=_duck_page_expr())

@@ -1,0 +1,94 @@
+"""Planted-behavior tests for the corpus-stats operators (line-level
+dedup, vocabulary head, unigram-NLL quality) and the URL
+canonicalizer — the library surfaces, beyond the registry keys'
+DuckDB hash checks."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hocr_de_noising_spark.queries.corpus_stats import (
+    dedup_repeated_lines,
+    unigram_nll,
+)
+from hocr_de_noising_spark.queries.web_extract import canonicalize_url
+
+BP = "subscribe to our newsletter"
+
+
+def test_dedup_lines_planted_boilerplate(spark):
+    rows = [(i, f"unique line {i} alpha\n{BP}\nunique line {i} beta") for i in range(6)]
+    rows.append((6, f"{BP}\n{BP}"))  # all-boilerplate doc must survive empty
+    rows.append((7, "only content here"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in dedup_repeated_lines(df, df_cap=2).collect()
+    }
+    for i in range(6):
+        assert out[i]["clean_text"] == f"unique line {i} alpha\nunique line {i} beta"
+        assert out[i]["n_lines"] == 3 and out[i]["n_kept"] == 2
+    # the all-hot doc keeps its row with an empty text, not a dropped row
+    assert out[6]["clean_text"] == "" and out[6]["n_kept"] == 0
+    assert out[6]["n_lines"] == 2
+    assert out[7]["clean_text"] == "only content here" and out[7]["n_kept"] == 1
+
+
+def test_dedup_lines_order_preserved(spark):
+    # reassembly must restore original line order even though the
+    # exploded stream is shuffled by line for the anti-join
+    text = "\n".join(f"line number {i} of this doc" for i in range(20))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    (row,) = dedup_repeated_lines(df, df_cap=2).collect()
+    assert row["clean_text"] == text and row["n_kept"] == 20
+
+
+def test_unigram_nll_hand_computed(spark):
+    # corpus: a a a b  ->  p(a)=3/4, p(b)=1/4
+    df = spark.createDataFrame([(0, "a a a"), (1, "b")], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_nll(df).collect()}
+    assert out[0]["n_tokens"] == 3 and out[1]["n_tokens"] == 1
+    assert abs(out[0]["nll"] - (-math.log(0.75))) < 1e-4
+    assert abs(out[1]["nll"] - (-math.log(0.25))) < 1e-4
+
+
+def test_unigram_nll_topv_oov_floor(spark):
+    # top_v=1 keeps only 'a'; 'b' scores the OOV floor
+    df = spark.createDataFrame([(0, "a a a"), (1, "b")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in unigram_nll(df, top_v=1, oov_floor=1e-6).collect()
+    }
+    assert abs(out[1]["nll"] - (-math.log(1e-6))) < 1e-4
+    assert abs(out[0]["nll"] - (-math.log(0.75))) < 1e-4
+
+
+def _canon(spark, url: str) -> str:
+    df = spark.createDataFrame([(url,)], ["url"])
+    return df.select(canonicalize_url(F.col("url")).alias("c")).first()["c"]
+
+
+def test_canonicalize_url_variants(spark):
+    # case + default port + tracking params + fragment + trailing slash
+    assert (
+        _canon(spark, "HTTPS://WWW.Example.COM:443/Path/9/?utm_source=f&id=3#top")
+        == "https://example.com/Path/9?id=3"
+    )
+    # http default port, utm anywhere in the query, params sorted
+    assert (
+        _canon(spark, "http://example.com:80/p?z=1&utm_campaign=x&a=2")
+        == "http://example.com/p?a=2&z=1"
+    )
+    # NON-default port must be kept; www stripped only as a prefix
+    assert (
+        _canon(spark, "https://sub.Example.com:8443/path/2/")
+        == "https://sub.example.com:8443/path/2"
+    )
+    # bare host, no path/query
+    assert _canon(spark, "https://Example.com/") == "https://example.com"
+    # query-only utm params -> no '?' at all
+    assert (
+        _canon(spark, "https://a.com/x?utm_medium=em") == "https://a.com/x"
+    )

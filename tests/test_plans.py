@@ -221,3 +221,29 @@ def test_r6_text_keys_plan_shape(spark):
     assert "partial_count" in p2, p2  # map-side combine everywhere
     rdd_ids = set(re.findall(r"MapPartitionsRDD\[(\d+)\]", formatted(bp)))
     assert len(rdd_ids) == 1  # totals + uniq share one subtree
+
+
+def test_r7_corpus_stats_plan_shape(spark):
+    """dedup_lines: line df from hash aggregates (map-side partials),
+    hot-list removal via BROADCAST anti-join, NO window-by-line — the
+    r6 shingle-skew class is structurally excluded. url_canonicalize:
+    pure map-side projection (no exchange/join/Python).
+    quality_perplexity: vocab reaches the token stream by broadcast;
+    vocab_topk's k-cut is a TakeOrdered, not a global sort."""
+    dl = QUERIES["dedup_lines"]["fn"](spark, SF)
+    p = plan_str(dl)
+    assert "Window" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "partial_count" in p, p
+    uc = QUERIES["url_canonicalize"]["fn"](spark, SF)
+    pu = plan_str(uc)
+    assert "Exchange" not in pu and "Join" not in pu, pu
+    assert pu.count("Scan parquet") == 1, pu
+    assert "Python" not in pu and "Arrow" not in pu, pu
+    ppl = QUERIES["quality_perplexity"]["fn"](spark, SF)
+    pp = plan_str(ppl)
+    assert "BroadcastHashJoin" in pp, pp
+    assert "SortMergeJoin" not in pp and "CartesianProduct" not in pp, pp
+    vk = QUERIES["vocab_topk"]["fn"](spark, SF)
+    pv = plan_str(vk)
+    assert "TakeOrderedAndProject" in pv, pv

@@ -236,6 +236,8 @@ def run_trainprep_job(
     media_verify_bytes: bool = False,
     semantic_dedup: bool = False,
     semantic_nlist: int | None = None,
+    line_dedup: bool = False,
+    line_df_cap: int = 4,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -285,6 +287,8 @@ def run_trainprep_job(
         media_verify_bytes=media_verify_bytes,
         semantic_dedup=has_embeddings,
         semantic_nlist=semantic_nlist,
+        line_dedup=line_dedup,
+        line_df_cap=line_df_cap if line_dedup else None,
     )
     sr = StageRunner(
         StageManifest(manifest_dir) if manifest_dir else None,
@@ -312,11 +316,76 @@ def run_trainprep_job(
     )
     n_filtered = n_of(os.path.join(filtered_dir, "documents.parquet"))
 
+    # optional CCNet-style line-level dedup (Wenzek et al.
+    # arXiv:1911.00359): strip lines whose corpus document-frequency
+    # exceeds line_df_cap BEFORE document-level dedup, so cross-page
+    # boilerplate (cookie banners, nav text) neither survives into the
+    # corpus nor floods the shingle stages with hot keys. Runs as its
+    # own resumable stage; the dedup job consumes its output dir. A doc
+    # whose every line was boilerplate is dropped here (its text is
+    # empty). line_df_cap must exceed the corpus's expected exact-dup
+    # multiplicity — hotter lines are boilerplate by definition; whole-
+    # document exact dups below the cap are left for the dedup stage,
+    # which keeps one copy instead of deleting all of them.
+    line_summary: dict = {}
+    if line_dedup:
+        from hocr_de_noising_spark.queries.corpus_stats import (
+            dedup_repeated_lines,
+        )
+
+        line_dir = os.path.join(out_dir, "line_filtered")
+        line_docs_path = os.path.join(line_dir, "documents.parquet")
+
+        def write_line_filtered():
+            filtered = spark.read.parquet(
+                os.path.join(filtered_dir, "documents.parquet")
+            )
+            cleaned = dedup_repeated_lines(filtered, df_cap=line_df_cap)
+            carry = [c for c in filtered.columns if c not in ("text", "n_chars")]
+            (
+                filtered.select(*carry)
+                .join(cleaned.filter(F.col("n_kept") > 0), "doc_id")
+                .select(
+                    *carry,
+                    F.col("clean_text").alias("text"),
+                    F.length("clean_text").cast("int").alias("n_chars"),
+                    # stats columns stay in the table so resumed runs
+                    # report the same counts from the written output
+                    "n_lines",
+                    "n_kept",
+                )
+                .write.mode("overwrite")
+                .parquet(line_docs_path)
+            )
+
+        sr.run(
+            "line_dedup",
+            write_line_filtered,
+            lambda: n_of(line_docs_path),
+        )
+        stats = (
+            spark.read.parquet(line_docs_path)
+            .agg(
+                F.count("*").alias("n"),
+                F.sum("n_lines").alias("nl"),
+                F.sum("n_kept").alias("nk"),
+            )
+            .first()
+        )
+        line_summary = {
+            "n_after_line_dedup": stats["n"],
+            "lines_removed": int(stats["nl"] - stats["nk"]),
+            "docs_emptied_by_line_dedup": n_filtered - stats["n"],
+        }
+        dedup_input_dir = line_dir
+    else:
+        dedup_input_dir = filtered_dir
+
     dedup_dir = os.path.join(out_dir, "dedup")
     t0 = time.time()
     dedup_summary = run_dedup_job(
         spark,
-        filtered_dir,
+        dedup_input_dir,
         dedup_dir,
         jaccard_threshold=jaccard_threshold,
         manifest_dir=manifest_dir,
@@ -345,7 +414,7 @@ def run_trainprep_job(
             # BOTH sides restricted to the surviving docs: a train doc
             # dedup removed must not raise a false leakage flag
             keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
-            rep = decon_overlap(spark, filtered_dir, keep=keepers)
+            rep = decon_overlap(spark, dedup_input_dir, keep=keepers)
             rep.write.mode("overwrite").parquet(os.path.join(out_dir, "decon"))
 
         sr.run(
@@ -436,7 +505,7 @@ def run_trainprep_job(
     def write_corpus():
         keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
         filtered = spark.read.parquet(
-            os.path.join(filtered_dir, "documents.parquet")
+            os.path.join(dedup_input_dir, "documents.parquet")
         )
         cols = ["doc_id", "text", "lang", "split"]
         final = keepers.join(filtered, "doc_id")
@@ -468,7 +537,9 @@ def run_trainprep_job(
         "n_after_gates": n_filtered,
         "n_final": n_final,
         "gated_out": n_in - n_filtered,
-        "dedup_removed": n_filtered - n_final,
+        "dedup_removed": line_summary.get("n_after_line_dedup", n_filtered)
+        - n_final,
+        **line_summary,
         "dedup": dedup_summary,
         **sem_summary,
         **decon_summary,
@@ -490,6 +561,11 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--manifest", default=None,
                     help="stage-manifest dir (enables stage-granular resume)")
     ap.add_argument("--run-id", default="run-0")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="CCNet-style line-level dedup stage: strip "
+                         "lines whose corpus df exceeds --line-df-cap "
+                         "before document dedup")
+    ap.add_argument("--line-df-cap", type=int, default=4)
     ap.add_argument("--decontaminate", action="store_true",
                     help="write decon/ report of surviving val/test docs "
                          "sharing 5-gram shingles with the train split")
@@ -527,6 +603,8 @@ def main(argv: list[str] | None = None) -> None:
         media_verify_bytes=args.media_verify_bytes,
         semantic_dedup=args.semantic_dedup,
         semantic_nlist=args.semantic_nlist,
+        line_dedup=args.line_dedup,
+        line_df_cap=args.line_df_cap,
     )
     print(summary)
     spark.stop()

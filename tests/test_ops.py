@@ -1010,3 +1010,67 @@ def test_trainprep_decon_stage_resume(spark, tmp_path):
     s3 = run_trainprep_job(spark, SF_DIR, str(tmp_path / "prep2"), **kwargs)
     assert s2["n_contaminated"] == s3["n_contaminated"]
     assert s2["n_final"] == s3["n_final"]
+
+
+def test_trainprep_line_dedup_stage(spark, tmp_path):
+    """--line-dedup (r7): the CCNet-style line-level stage strips
+    cross-doc boilerplate lines BEFORE document dedup, drops docs
+    emptied by the strip, and is resumable with line_df_cap in the
+    param lineage."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    bp = "subscribe to the evening newsletter delivered every week"
+    fills = [
+        "eleven green lanterns were lighted beside the eastern gate",
+        "the engineers measured the riverbed then erected the bridge",
+        "every merchant weighed the peppercorns twice for the ledger",
+        "the keeper swept the terrace every evening before the bells",
+        "the evening ferry delivered the letters to the sleepy village",
+        "the restless swallows assembled their nests beneath the eaves",
+    ]
+    rows = [(i, f"{t}\n{bp}") for i, t in enumerate(fills)]
+    rows.append((6, bp))  # all-boilerplate doc -> emptied -> dropped
+    rows.append((7, "the severed engine generated embers near the temple"))
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.write.parquet(str(src / "documents.parquet"))
+    out = str(tmp_path / "prep")
+    man = str(tmp_path / "man")
+    kwargs = dict(
+        min_quality=0.2, langs=("en",), jaccard_threshold=0.2,
+        line_dedup=True, line_df_cap=2,
+    )
+    s = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="ld", **kwargs
+    )
+    assert "line_dedup" in s["stages_run"]
+    assert s["n_after_line_dedup"] == 7  # doc 6 emptied and dropped
+    assert s["docs_emptied_by_line_dedup"] == 1
+    assert s["lines_removed"] == 6  # one bp line per doc 0-5
+    corpus = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    assert 6 not in corpus
+    for i, t in enumerate(fills):
+        assert corpus[i] == t  # bp line stripped, content intact
+    assert corpus[7] == rows[7][1]
+    # resume skips the committed line stage; counts still reported
+    s2 = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="ld", **kwargs
+    )
+    assert "line_dedup" in s2["stages_skipped"]
+    assert s2["lines_removed"] == 6
+    # a different cap is a different lineage: everything re-runs
+    s3 = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="ld",
+        **{**kwargs, "line_df_cap": 3},
+    )
+    assert "line_dedup" in s3["stages_run"]

@@ -43,6 +43,7 @@ def write_corpus(
     dup_frac: float,
     near_frac: float,
     n_emb: int = 0,
+    line_bp_frac: float = 0.0,
 ) -> str:
     import numpy as np
     import pyarrow as pa
@@ -54,6 +55,8 @@ def write_corpus(
     )
 
     suffix = f"x{n_emb}e" if n_emb else ""
+    if line_bp_frac:
+        suffix += f"x{int(line_bp_frac * 100)}bp"
     d = os.path.join(CACHE, f"prep_scale_{n_docs}x{n_media}x{kb}kb{suffix}")
     marker = os.path.join(d, "_DONE")
     if os.path.exists(marker):
@@ -146,6 +149,24 @@ def write_corpus(
         ]
         + partials
     )
+    if line_bp_frac:
+        # planted cross-doc boilerplate LINES (the line_dedup stage's
+        # ground truth): every stride-th doc gets one of two site-wide
+        # footer lines appended on its own line. Deliberately violates
+        # the no-cross-doc-shingle corpus design — these lines MUST be
+        # stripped by line_dedup before the shingle stages, or the LSH
+        # df caps grind on them; note a dup copy may gain a bp line its
+        # source lacks, so byte-exact dedup only re-aligns them AFTER
+        # the strip (the CCNet ordering argument, measured).
+        bp_lines = [
+            "subscribe to the evening newsletter delivered every week",
+            "the weather telegraph renders every evening report here",
+        ]
+        stride = max(1, int(round(1.0 / line_bp_frac)))
+        texts = [
+            t + "\n" + bp_lines[i % 2] if i % stride == 0 else t
+            for i, t in enumerate(texts)
+        ]
     media_refs: list[list[str] | None] = [
         [refs[int(x)] for x in rng.integers(0, n_media, size=1 + i % 2)]
         if i % 3 == 0
@@ -220,6 +241,11 @@ def main() -> None:
         help="embeddings for N docs; enables the semantic_dedup stage",
     )
     ap.add_argument(
+        "--line-bp-frac", type=float, default=0.0,
+        help="plant a site-wide boilerplate line on this fraction of "
+             "docs and enable the line_dedup stage",
+    )
+    ap.add_argument(
         "--semantic-nlist", type=int, default=None,
         help="cells for the semantic quantizer (default emb/24, min 8)",
     )
@@ -228,7 +254,7 @@ def main() -> None:
     t0 = time.time()
     d = write_corpus(
         args.docs, args.media, args.kb, args.dup_frac, args.near_frac,
-        n_emb=args.emb,
+        n_emb=args.emb, line_bp_frac=args.line_bp_frac,
     )
     gen_sec = round(time.time() - t0, 1)
 
@@ -244,6 +270,8 @@ def main() -> None:
         decontaminate=True,
         media_near_dedup=True,
     )
+    if args.line_bp_frac:
+        kwargs["line_dedup"] = True
     if args.emb:
         kwargs["semantic_dedup"] = True
         # SemDeDup's k-grows-with-n rule: cells must stay under
@@ -316,6 +344,9 @@ def main() -> None:
         "media_unique_planted": args.media
         - int(args.media * args.dup_frac)
         - int(args.media * args.near_frac),
+        "line_bp_frac": args.line_bp_frac,
+        "n_after_line_dedup": s_a.get("n_after_line_dedup"),
+        "lines_removed": s_a.get("lines_removed"),
         "emb_rows": args.emb,
         "semantic_nlist": kwargs.get("semantic_nlist"),
         "semantic_pruned": s_a.get("semantic_pruned"),

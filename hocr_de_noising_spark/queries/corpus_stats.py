@@ -302,3 +302,122 @@ def quality_perplexity(spark, sf):
     bit-stable across partitionings (module docstring)."""
     docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
     return unigram_nll(docs)
+
+
+# --------------------------------------------- BPE pair statistics --
+
+PAIR_K = 50
+
+
+_BPE_SQL = f"""
+SELECT pair, count(*) AS n
+FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                    i -> t[i] || ' ' || t[i+1])) AS pair
+      FROM (SELECT string_split(text, ' ') AS t
+            FROM documents WHERE text IS NOT NULL))
+GROUP BY pair ORDER BY n DESC, pair LIMIT {PAIR_K}
+"""
+
+
+@register("bpe_pair_topk", _BPE_SQL)
+def bpe_pair_topk(spark, sf):
+    """Adjacent-token-pair frequency head — the merge-candidate scan at
+    the core of BPE tokenizer training (Sennrich et al.,
+    arXiv:1508.07909: each merge round promotes the most frequent
+    adjacent pair). Pair generation is a per-row JVM zip_with (no
+    self-join, no window); counting is one combiner-friendly hash
+    aggregate; the k-cut is a TakeOrdered. At corpus scale each BPE
+    round is exactly this job over the re-tokenized stream."""
+    t = "split(text, ' ')"
+    pairs = (
+        load(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.expr(
+                    f"zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)),"
+                    f" slice({t}, 2, greatest(size({t}) - 1, 0)),"
+                    f" (a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("pair")
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(PAIR_K)
+    )
+
+
+# ------------------------------------------- stratified sampling --
+
+
+def sample_stratified(
+    df: DataFrame,
+    fracs: dict[str, float],
+    default_frac: float = 0.0,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the corpus-mixture
+    weighting step of training-data assembly (keep X% of each source).
+    Keep-decision: first 4 md5 hex chars of (salt || id) compared
+    lexicographically against floor(frac·16⁴) rendered as 4 hex
+    digits — content-independent, stable across reruns and cluster
+    sizes, pure map-side (zero shuffle, no sampling state; the same
+    rule family as ``sample_split``). ``salt`` yields independent
+    re-draws. Granularity is 1/65536; fracs are clamped to [0, 1]."""
+
+    def thresh(f: float) -> str:
+        n = max(0, min(65536, int(f * 65536)))
+        # 'g' sorts after every hex digit: frac=1.0 keeps everything
+        # (a 5-digit "10000" would compare lexicographically WRONG
+        # against the 4-char md5 prefix)
+        return "g" if n == 65536 else format(n, "04x")
+
+    h = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4)
+    cond = F.lit(None).cast("string")
+    expr = None
+    for s, f in sorted(fracs.items()):
+        c = (F.col(strata_col) == s) & (h < thresh(f))
+        expr = c if expr is None else expr | c
+    others = ~F.col(strata_col).isin(list(fracs)) & (h < thresh(default_frac))
+    _ = cond
+    return df.filter((expr | others) if expr is not None else others)
+
+
+_STRATA_FRACS = {"src0": 0.5, "src1": 0.25}
+_STRATA_DEFAULT = 0.125
+
+
+def _strat_sql() -> str:
+    def thresh(f: float) -> str:
+        n = int(f * 65536)
+        return "g" if n == 65536 else format(n, "04x")
+
+    whens = " ".join(
+        f"WHEN source = '{s}' THEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)"
+        f" < '{thresh(f)}'"
+        for s, f in sorted(_STRATA_FRACS.items())
+    )
+    return f"""
+SELECT doc_id, source
+FROM documents
+WHERE CASE {whens}
+      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+           < '{thresh(_STRATA_DEFAULT)}' END
+"""
+
+
+@register("sample_stratified", _strat_sql())
+def sample_stratified_key(spark, sf):
+    """Per-source mixture sampling over the documents table: keep 50%
+    of src0, 25% of src1, 12.5% of everything else, deterministically
+    by id hash."""
+    return sample_stratified(
+        load(spark, sf, "documents"),
+        _STRATA_FRACS,
+        default_frac=_STRATA_DEFAULT,
+    ).select("doc_id", "source")

@@ -92,3 +92,46 @@ def test_canonicalize_url_variants(spark):
     assert (
         _canon(spark, "https://a.com/x?utm_medium=em") == "https://a.com/x"
     )
+
+
+def test_sample_stratified_fracs(spark):
+    from hocr_de_noising_spark.queries.corpus_stats import sample_stratified
+
+    rows = [(i, "a" if i < 2000 else "b") for i in range(4000)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    kept = sample_stratified(df, {"a": 0.5, "b": 1.0}).groupBy("source").count()
+    counts = {r["source"]: r["count"] for r in kept.collect()}
+    # frac=1.0 keeps EVERY row (the 'g' sentinel — a 5-hex-digit
+    # threshold would lexicographically keep almost nothing)
+    assert counts["b"] == 2000
+    assert abs(counts["a"] - 1000) < 100  # ~50% of 2000
+    # frac=0 strata and the default_frac=0 fallback keep nothing
+    none = sample_stratified(df, {"a": 0.0}).filter("source = 'a'").count()
+    assert none == 0
+    assert sample_stratified(df, {}).count() == 0
+    # a different salt draws an independent sample of the same size
+    s1 = {r["doc_id"] for r in sample_stratified(df, {"a": 0.5}).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in sample_stratified(df, {"a": 0.5}, salt="x").collect()
+    }
+    assert s1 != s2 and abs(len(s2) - 1000) < 100
+
+
+def test_bpe_pair_edge_cases(spark, tmp_path):
+    # single-token and empty docs contribute no pairs; counts are
+    # corpus-wide occurrence counts (not per-doc distinct)
+    sdir = tmp_path / "bpe"
+    sdir.mkdir()
+    spark.createDataFrame(
+        [(0, "lo w lo w", "en", "s", 9), (1, "lo", "en", "s", 2),
+         (2, "", "en", "s", 0)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(sdir / "documents.parquet"))
+    from hocr_de_noising_spark.queries import QUERIES
+
+    got = {
+        r["pair"]: r["n"]
+        for r in QUERIES["bpe_pair_topk"]["fn"](spark, str(sdir)).collect()
+    }
+    assert got == {"lo w": 2, "w lo": 1}

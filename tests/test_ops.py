@@ -134,7 +134,8 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         "sample_split", "decontaminate_overlap", "dedup_media_near",
         "pii_scrub", "pii_scrub_strict", "quality_boilerplate",
         "html_main_content", "dedup_lines", "vocab_topk",
-        "quality_perplexity", "url_canonicalize",
+        "quality_perplexity", "url_canonicalize", "bpe_pair_topk",
+        "sample_stratified",
     ]
     for name in keys:
         sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()

@@ -247,3 +247,17 @@ def test_r7_corpus_stats_plan_shape(spark):
     vk = QUERIES["vocab_topk"]["fn"](spark, SF)
     pv = plan_str(vk)
     assert "TakeOrderedAndProject" in pv, pv
+
+
+def test_r7_sampling_and_bpe_plan_shape(spark):
+    """sample_stratified: pure map-side filter (zero exchange/join,
+    one scan, filter pushdown-safe); bpe_pair_topk: per-row zip_with
+    pair generation (no self-join/window) + hash agg + TakeOrdered."""
+    st = QUERIES["sample_stratified"]["fn"](spark, SF)
+    p = plan_str(st)
+    assert "Exchange" not in p and "Join" not in p, p
+    assert p.count("Scan parquet") == 1, p
+    bp = QUERIES["bpe_pair_topk"]["fn"](spark, SF)
+    pb = plan_str(bp)
+    assert "Join" not in pb and "Window" not in pb, pb
+    assert "TakeOrderedAndProject" in pb and "partial_count" in pb, pb

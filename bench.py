@@ -64,6 +64,9 @@ HEADLINE = [
     "dedup_media_near",
     "ann_ivf_fixed",
     "dedup_semantic",
+    # r7 web/corpus family headline keys (controls list unchanged)
+    "html_main_content",
+    "dedup_lines",
 ]
 # ingest corpus: realistic Tesseract-scale pages (~300 words / ~26 KB)
 HOCR_DOCS = 8_000

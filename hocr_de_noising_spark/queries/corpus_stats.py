@@ -36,7 +36,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from hocr_de_noising_spark.queries.util import load, register
@@ -347,6 +347,87 @@ def bpe_pair_topk(spark, sf):
         .agg(F.count("*").alias("n"))
         .orderBy(F.col("n").desc(), "pair")
         .limit(PAIR_K)
+    )
+
+
+# ------------------------------------- token-budget corpus sharding --
+
+SHARD_BUDGET = 1000  # tokens per output shard (registry key)
+SHARD_BUCKET = 64  # doc_ids per prefix-sum bucket (registry key)
+
+
+def shard_token_budget(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Assign each document to an output shard such that shards hold
+    ~``budget`` tokens in ``id_col`` order — the equal-sized-training-
+    file sharding step that closes a curation pipeline. Returns
+    (id, n_tokens, shard) with shard = floor(exclusive-prefix-sum /
+    budget): exact, deterministic, order-preserving.
+
+    Scale shape — the distributed prefix sum: a GLOBAL running sum via
+    one Window.orderBy would materialize the whole corpus in a single
+    task. Instead: (1) bucket docs by id range (map-side), (2) one
+    combiner-friendly hash aggregate for per-bucket token totals,
+    (3) cumulative offsets over the tiny bucket table (the only
+    unbounded window — n/bucket_width rows, e.g. 10^6 at 10^12 docs;
+    recurse the same trick if that ever overflows a task),
+    (4) broadcast offsets back and run the within-bucket running sum
+    partitioned by bucket — every data-scale window partition is
+    bounded by bucket_width."""
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
+        (F.floor(F.col(id_col) / bucket_width)).alias("_bkt"),
+    )
+    per_bucket = toks.groupBy("_bkt").agg(F.sum("n_tokens").alias("_bsum"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bsum").over(w_b), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        toks.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_cum",
+            F.col("_off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
+        )
+        .select(
+            id_col,
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            (F.col("_cum") / budget).cast("int").alias("shard"),
+        )
+    )
+
+
+_SHARD_SQL = f"""
+SELECT doc_id,
+       CAST(n_tokens AS INT) AS n_tokens,
+       CAST((SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             - n_tokens) // {SHARD_BUDGET} AS INT) AS shard
+FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents WHERE text IS NOT NULL)
+"""
+
+
+@register("shard_token_budget", _SHARD_SQL)
+def shard_token_budget_key(spark, sf):
+    """Token-budget sharding over the documents table (budget
+    {SHARD_BUDGET} tokens, {SHARD_BUCKET}-doc prefix-sum buckets): the
+    distributed prefix sum must equal the oracle's single global
+    running sum exactly (integer arithmetic throughout)."""
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return shard_token_budget(
+        docs, SHARD_BUDGET, bucket_width=SHARD_BUCKET
     )
 
 

@@ -135,3 +135,24 @@ def test_bpe_pair_edge_cases(spark, tmp_path):
         for r in QUERIES["bpe_pair_topk"]["fn"](spark, str(sdir)).collect()
     }
     assert got == {"lo w": 2, "w lo": 1}
+
+
+def test_shard_token_budget_exact_and_bucket_invariant(spark):
+    from hocr_de_noising_spark.queries.corpus_stats import shard_token_budget
+
+    # token counts 3,5,4,6,2,8 at budget 10: exclusive prefix sums
+    # 0,3,8,12,18,20 -> shards 0,0,0,1,1,2
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate([3, 5, 4, 6, 2, 8])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["shard"]
+        for r in shard_token_budget(df, 10, bucket_width=2).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+    # the distributed prefix sum is bucket-width-invariant: any width
+    # gives the same shards as one global bucket
+    wide = {
+        r["doc_id"]: r["shard"]
+        for r in shard_token_budget(df, 10, bucket_width=1 << 20).collect()
+    }
+    assert wide == got

@@ -135,7 +135,7 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         "pii_scrub", "pii_scrub_strict", "quality_boilerplate",
         "html_main_content", "dedup_lines", "vocab_topk",
         "quality_perplexity", "url_canonicalize", "bpe_pair_topk",
-        "sample_stratified",
+        "sample_stratified", "shard_token_budget",
     ]
     for name in keys:
         sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()

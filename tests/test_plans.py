@@ -261,3 +261,18 @@ def test_r7_sampling_and_bpe_plan_shape(spark):
     pb = plan_str(bp)
     assert "Join" not in pb and "Window" not in pb, pb
     assert "TakeOrderedAndProject" in pb and "partial_count" in pb, pb
+
+
+def test_r7_shard_plan_is_distributed_prefix_sum(spark):
+    """shard_token_budget: the only single-task stage is the tiny
+    bucket-offsets table (SinglePartition exchange exactly once, on
+    the aggregated bucket side); the data-scale running sum is a
+    Window PARTITIONED by bucket; offsets reach the docs via
+    broadcast."""
+    df = QUERIES["shard_token_budget"]["fn"](spark, SF)
+    p = plan_str(df)
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
+    # the doc-level window carries a partition spec ([_bkt]) — a global
+    # unpartitioned window over the data would render without one
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L?, doc_id", p), p

@@ -131,10 +131,16 @@ def unigram_nll(
     ``-ln(oov_floor)`` (web-scale corpora; None = exact full vocab).
     """
     toks = df.select(F.col(id_col), F.explode(F.split(text_col, " ")).alias("tok"))
-    vocab = toks.groupBy("tok").count()
+    # checkpoint the (small, Heaps-sublinear) vocab so the corpus is
+    # scanned ONCE for it: the grand total, the top_v cut and the
+    # scoring join all read the checkpointed aggregate instead of
+    # re-deriving it (a separate toks.count() was a third full scan)
+    vocab = toks.groupBy("tok").count().localCheckpoint(eager=False)
+    # total over ALL tokens (LM normalization), even when top_v caps
+    # the broadcast vocabulary — one scalar on the driver
+    total = vocab.agg(F.sum("count")).first()[0] or 0
     if top_v is not None:
         vocab = vocab.orderBy(F.col("count").desc(), "tok").limit(top_v)
-    total = toks.count()  # one scalar on the driver (documented collect)
     scored = vocab.select(
         "tok",
         F.round(-F.log(F.col("count") / F.lit(float(total))) * 1e6)

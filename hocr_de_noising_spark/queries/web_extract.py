@@ -98,11 +98,37 @@ def _spark_stats_expr() -> str:
 _KEEP = f"s -> s.nw >= {MIN_WORDS} AND s.lw * {LINK_DENSITY_DEN} <= s.nw"
 
 
-def extract_main_content(df: DataFrame, html_col: str = "html") -> DataFrame:
+# DOM heuristic (the north-rule's "DOM heuristics" clause): the
+# Readability/Arc90 unlikely-candidate rule — containers whose id/class
+# matches the negative keyword set are boilerplate regardless of their
+# text statistics (a verbose link-sparse nav passes the word rules but
+# no reader wants it). Subtree removal is non-greedy to the FIRST
+# matching close tag per tag family — RE2 (DuckDB) has no pattern
+# backreferences, so the exactly-nested form is not portable; for the
+# leaf-ish containers these classes mark, first-close is the subtree.
+_UNLIKELY = "nav|foot|side|comment|menu|banner|promo|related|share"
+_UNLIKELY_TAGS = ("div", "section", "aside", "ul", "table")
+
+
+def _unlikely_pat(tag: str) -> str:
+    return (
+        f"(?is)<{tag}[^>]*(?:id|class)=\"[^\"]*(?:{_UNLIKELY})[^\"]*\""
+        f"[^>]*>.*?</{tag}>"
+    )
+
+
+def extract_main_content(
+    df: DataFrame, html_col: str = "html", dom_heuristics: bool = False
+) -> DataFrame:
     """Main-content extraction over a raw-HTML column: returns the
     input plus (main_text, n_blocks, n_kept). Map-side only — safe to
-    compose before any shuffle-bearing stage."""
+    compose before any shuffle-bearing stage. ``dom_heuristics=True``
+    additionally removes Readability-style unlikely-candidate subtrees
+    (negative id/class keywords) before the block statistics."""
     scrubbed = _spark_drop_subtrees(F.col(html_col))
+    if dom_heuristics:
+        for t in _UNLIKELY_TAGS:
+            scrubbed = F.regexp_replace(scrubbed, _unlikely_pat(t), " ")
     bs = F.split(scrubbed, _BLOCK_SPLIT)
     return (
         df.withColumn("bs", bs)
@@ -135,7 +161,13 @@ _PAGE_PARTS = [
     '<a href="/b">Contact</a></div><p>',
     "</p>"
     '<div class="side"><a href="/x">More</a> <a href="/y">Other</a> '
-    "links</div><p>",
+    "links</div>"
+    # long link-SPARSE promo block: passes the word rules (12 words,
+    # zero links) so only the DOM unlikely-candidate heuristic drops
+    # it — the case separating html_main_content_dom from the
+    # rules-only key
+    '<div class="promo">every reader deserves these twelve generic '
+    "promotional words delivered verbatim today</div><p>",
     # one ABSOLUTE link whose domain is doc-dependent (doc_id % 10) —
     # gives html_links / link_domains_topk a non-degenerate domain
     # distribution; anchor text unchanged so the extraction keys see
@@ -155,10 +187,13 @@ def _duck_page_expr() -> str:
     )
 
 
-def _duck_sql() -> str:
+def _duck_sql(dom_heuristics: bool = False) -> str:
     drop = "html"
     for pat in _DROP_SUBTREES:
         drop = f"regexp_replace({drop}, '{pat}', ' ', 'g')"
+    if dom_heuristics:
+        for t in _UNLIKELY_TAGS:
+            drop = f"regexp_replace({drop}, '{_unlikely_pat(t)}', ' ', 'g')"
     txt = (
         "trim(regexp_replace(regexp_replace(b, '<[^>]*>', ' ', 'g'), "
         "'[ \\t\\r\\n]+', ' ', 'g'))"
@@ -224,10 +259,22 @@ def html_main_content(spark, sf):
     built from the documents table (see module docstring): planted
     nav/sidebar/footer must be dropped, the body paragraphs kept, the
     script/style subtrees erased — checked block-for-block against the
-    DuckDB oracle."""
+    DuckDB oracle. (The word rules alone KEEP the planted link-sparse
+    promo block — see html_main_content_dom.)"""
     return extract_main_content(_spark_pages(spark, sf), "html").select(
         "doc_id", "main_text", "n_blocks", "n_kept"
     )
+
+
+@register("html_main_content_dom", _duck_sql(dom_heuristics=True))
+def html_main_content_dom(spark, sf):
+    """Main-content extraction WITH the Readability-style DOM
+    unlikely-candidate heuristic: the planted class="promo" block (12
+    words, zero links — invisible to the word rules) must be dropped
+    structurally, along with the nav/side/footer containers."""
+    return extract_main_content(
+        _spark_pages(spark, sf), "html", dom_heuristics=True
+    ).select("doc_id", "main_text", "n_blocks", "n_kept")
 
 
 # ------------------------------------------------------- link graph --

@@ -136,6 +136,7 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         "html_main_content", "dedup_lines", "vocab_topk",
         "quality_perplexity", "url_canonicalize", "bpe_pair_topk",
         "sample_stratified", "shard_token_budget",
+        "html_main_content_dom",
     ]
     for name in keys:
         sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()
@@ -1075,3 +1076,32 @@ def test_trainprep_line_dedup_stage(spark, tmp_path):
         **{**kwargs, "line_df_cap": 3},
     )
     assert "line_dedup" in s3["stages_run"]
+
+
+def test_html_dom_heuristic_drops_unlikely_candidates(spark):
+    """dom_heuristics=True (r7): a verbose link-SPARSE container whose
+    class matches the Readability negative set is dropped even though
+    the word rules would keep it; content without such markers is
+    untouched; removal is subtree-wide (its inner text leaks into no
+    block)."""
+    from hocr_de_noising_spark.queries.web_extract import (
+        extract_main_content,
+    )
+
+    body = " ".join(f"word{i}" for i in range(30))
+    promo = " ".join(f"promo{i}" for i in range(20))  # 20 words, 0 links
+    page = (
+        "<html><body>"
+        f'<div class="promo-box">{promo}</div>'
+        f"<p>{body}</p>"
+        f'<section id="related-items">also read these {promo}</section>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "doc_id long, html string")
+    rules = extract_main_content(df).first()
+    dom = extract_main_content(df, dom_heuristics=True).first()
+    # the word rules keep all three long blocks; the DOM heuristic
+    # keeps only the unmarked paragraph
+    assert rules.n_kept == 3 and "promo0" in rules.main_text
+    assert dom.main_text == body and dom.n_kept == 1
+    assert "promo0" not in dom.main_text and "also read" not in dom.main_text

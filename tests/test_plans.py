@@ -209,11 +209,12 @@ def test_r6_text_keys_plan_shape(spark):
     assert p.count("Scan parquet") == 1, p
     # html_main_content (r7): same contract — the whole boilerplate
     # strip is one map-side projection, no Python, no shuffle
-    html = QUERIES["html_main_content"]["fn"](spark, SF)
-    ph = plan_str(html)
-    assert "Exchange" not in ph and "Join" not in ph, ph
-    assert ph.count("Scan parquet") == 1, ph
-    assert "Python" not in ph and "Arrow" not in ph, ph
+    for k in ("html_main_content", "html_main_content_dom"):
+        html = QUERIES[k]["fn"](spark, SF)
+        ph = plan_str(html)
+        assert "Exchange" not in ph and "Join" not in ph, ph
+        assert ph.count("Scan parquet") == 1, ph
+        assert "Python" not in ph and "Arrow" not in ph, ph
     bp = QUERIES["quality_boilerplate"]["fn"](spark, SF)
     p2 = plan_str(bp)
     assert "Window" not in p2, p2

@@ -465,13 +465,11 @@ def sample_stratified(
         return "g" if n == 65536 else format(n, "04x")
 
     h = F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 4)
-    cond = F.lit(None).cast("string")
     expr = None
     for s, f in sorted(fracs.items()):
         c = (F.col(strata_col) == s) & (h < thresh(f))
         expr = c if expr is None else expr | c
     others = ~F.col(strata_col).isin(list(fracs)) & (h < thresh(default_frac))
-    _ = cond
     return df.filter((expr | others) if expr is not None else others)
 
 

@@ -238,6 +238,7 @@ def run_trainprep_job(
     semantic_nlist: int | None = None,
     line_dedup: bool = False,
     line_df_cap: int = 4,
+    shard_budget: int | None = None,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -289,6 +290,7 @@ def run_trainprep_job(
         semantic_nlist=semantic_nlist,
         line_dedup=line_dedup,
         line_df_cap=line_df_cap if line_dedup else None,
+        shard_budget=shard_budget,
     )
     sr = StageRunner(
         StageManifest(manifest_dir) if manifest_dir else None,
@@ -523,6 +525,22 @@ def run_trainprep_job(
             ref_map = spark.read.parquet(os.path.join(out_dir, "media", "ref_map"))
             final = remap_media_refs(final, ref_map)
             cols.append("media_refs")
+        if shard_budget:
+            # equal-token output sharding (the training-file packing
+            # step): the distributed prefix sum over the SURVIVING
+            # corpus in doc_id order; shard rides as a column so the
+            # writer below (or a downstream repartition('shard'))
+            # can pack files without another pass
+            from hocr_de_noising_spark.queries.corpus_stats import (
+                shard_token_budget,
+            )
+
+            final = final.localCheckpoint(eager=False)
+            shards = shard_token_budget(final, shard_budget).select(
+                "doc_id", "shard"
+            )
+            final = final.join(shards, "doc_id")
+            cols.append("shard")
         final.select(*cols).write.mode("overwrite").parquet(
             os.path.join(out_dir, "corpus")
         )
@@ -566,6 +584,9 @@ def main(argv: list[str] | None = None) -> None:
                          "lines whose corpus df exceeds --line-df-cap "
                          "before document dedup")
     ap.add_argument("--line-df-cap", type=int, default=4)
+    ap.add_argument("--shard-budget", type=int, default=None,
+                    help="assign equal-token output shards to the final "
+                         "corpus (floor(exclusive-token-prefix/budget))")
     ap.add_argument("--decontaminate", action="store_true",
                     help="write decon/ report of surviving val/test docs "
                          "sharing 5-gram shingles with the train split")
@@ -605,6 +626,7 @@ def main(argv: list[str] | None = None) -> None:
         semantic_nlist=args.semantic_nlist,
         line_dedup=args.line_dedup,
         line_df_cap=args.line_df_cap,
+        shard_budget=args.shard_budget,
     )
     print(summary)
     spark.stop()

@@ -1105,3 +1105,33 @@ def test_html_dom_heuristic_drops_unlikely_candidates(spark):
     assert rules.n_kept == 3 and "promo0" in rules.main_text
     assert dom.main_text == body and dom.n_kept == 1
     assert "promo0" not in dom.main_text and "also read" not in dom.main_text
+
+
+def test_trainprep_shard_budget(spark, tmp_path):
+    """--shard-budget (r7): the final corpus carries an equal-token
+    shard assignment — shard boundaries must equal the global
+    exclusive-prefix rule over the SURVIVING docs in doc_id order, and
+    the column is part of the resume lineage."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    out = str(tmp_path / "prep")
+    s = run_trainprep_job(
+        spark, SF_DIR, out, min_quality=0.4, langs=("en",),
+        jaccard_threshold=0.05, shard_budget=500,
+    )
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert "shard" in corpus.columns
+    rows = sorted(
+        corpus.select("doc_id", "text", "shard").collect(),
+        key=lambda r: r.doc_id,
+    )
+    assert len(rows) == s["n_final"]
+    cum, expected_ok = 0, True
+    for r in rows:
+        expected_ok &= r.shard == cum // 500
+        cum += len(r.text.split(" "))
+    assert expected_ok
+    assert rows[-1].shard > 0  # the corpus actually spans shards

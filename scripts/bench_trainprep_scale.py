@@ -241,6 +241,10 @@ def main() -> None:
         help="embeddings for N docs; enables the semantic_dedup stage",
     )
     ap.add_argument(
+        "--shard-budget", type=int, default=None,
+        help="stamp equal-token shards onto the final corpus",
+    )
+    ap.add_argument(
         "--line-bp-frac", type=float, default=0.0,
         help="plant a site-wide boilerplate line on this fraction of "
              "docs and enable the line_dedup stage",
@@ -270,6 +274,8 @@ def main() -> None:
         decontaminate=True,
         media_near_dedup=True,
     )
+    if args.shard_budget:
+        kwargs["shard_budget"] = args.shard_budget
     if args.line_bp_frac:
         kwargs["line_dedup"] = True
     if args.emb:
@@ -344,6 +350,7 @@ def main() -> None:
         "media_unique_planted": args.media
         - int(args.media * args.dup_frac)
         - int(args.media * args.near_frac),
+        "shard_budget": args.shard_budget,
         "line_bp_frac": args.line_bp_frac,
         "n_after_line_dedup": s_a.get("n_after_line_dedup"),
         "lines_removed": s_a.get("lines_removed"),

@@ -106,17 +106,21 @@ def media_text_stats(
     """Per-document interleave statistics + the multimodal keep-gate:
     (n_text, n_media, n_chars, multimodal_keep). Keep requires at
     least one media span and >= MM_TEXT_PER_MEDIA text spans per media
-    span (the OBELICS-style document-level filter)."""
+    span (the OBELICS-style document-level filter). explode_outer so a
+    doc with an EMPTY spans array still gets a (0, 0, 0, false) row —
+    stats must cover every input document."""
     flat = docs.select(
-        "doc_id", F.explode(spans_col).alias("s")
+        "doc_id", F.explode_outer(spans_col).alias("s")
     ).select("doc_id", "s.kind", "s.text", "s.media_ref")
     return _stats_core(flat)
 
 
 def _stats_core(flat: DataFrame) -> DataFrame:
     agg = flat.groupBy("doc_id").agg(
-        F.sum((F.col("kind") == "text").cast("long")).alias("n_text"),
-        F.sum(F.col("media_ref").isNotNull().cast("long")).alias(
+        # count(when(...)) not sum(cast): never NULL, even for a doc
+        # whose exploded rows are all-null (empty spans array)
+        F.count(F.when(F.col("kind") == "text", 1)).alias("n_text"),
+        F.count(F.when(F.col("media_ref").isNotNull(), 1)).alias(
             "n_media"
         ),
         F.coalesce(

@@ -102,6 +102,13 @@ def test_media_text_stats_gate(spark, edge_docs):
     assert row["multimodal_keep"]
 
 
+def test_media_text_stats_covers_empty_spans_doc(spark):
+    df = spark.createDataFrame([("empty", [])], SPANS_DDL)
+    row = media_text_stats(df).collect()[0]
+    assert (row["n_text"], row["n_media"], row["n_chars"]) == (0, 0, 0)
+    assert not row["multimodal_keep"]
+
+
 def test_caption_pairs_on_fixture_corpus(spark, unit_dir):
     """Real span fixture (image/figure kinds planted by the generator):
     every media span is paired, src is one of after/before/none, and

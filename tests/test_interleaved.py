@@ -137,6 +137,40 @@ def test_caption_pairs_on_fixture_corpus(spark, unit_dir):
     assert sample["caption"] == " ".join(texts)
 
 
+def test_caption_stage_composes_on_cleaned_output(spark, unit_dir, tmp_path):
+    """Denoise -> caption_stage composition (the run_denoise --captions
+    path): noise spans must not leak into captions, so the gate must be
+    at-most-as-permissive on cleaned spans as on raw."""
+    import sys
+
+    sys.path.insert(0, "jobs")
+    from run_denoise import caption_stage
+
+    from hocr_de_noising_spark.checkpoint import run_denoise_job
+    from hocr_de_noising_spark.params import Params
+
+    docs = spark.read.parquet(f"{unit_dir}/docs.parquet")
+    lex = spark.read.parquet(f"{unit_dir}/lexicon.parquet")
+    out = str(tmp_path / "out")
+    run_denoise_job(
+        spark, docs, lex, out, str(tmp_path / "m"),
+        params=Params(n_buckets=8), run_id="cap", n_groups=2,
+    )
+    cs = caption_stage(spark, out, str(tmp_path / "caps"))
+    n_media_raw = docs.select(F.explode("spans").alias("s")).filter(
+        F.col("s.media_ref").isNotNull()
+    ).count()
+    # every media span survives denoising and gets a caption row
+    assert cs["captions"] == n_media_raw > 0
+    raw_keep = media_text_stats(docs).filter("multimodal_keep").count()
+    assert cs["multimodal_keep"] <= raw_keep
+    caps = spark.read.parquet(str(tmp_path / "caps" / "captions.parquet"))
+    assert caps.columns == [
+        "doc_id", "media_ref", "media_offset", "kind",
+        "caption", "caption_src",
+    ]
+
+
 def test_caption_plan_single_window_exchange_no_python(spark, sf001_dir):
     from hocr_de_noising_spark.queries import QUERIES
 

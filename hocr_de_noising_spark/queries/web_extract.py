@@ -482,6 +482,104 @@ def url_canonicalize(spark, sf):
     )
 
 
+# ---------------------------------------------- URL blocklist filter --
+
+# Domain-suffix blocklist filtering (the C4/RefinedWeb URL-filter
+# step [Raffel et al. arXiv:1910.10683 §2.2; Penedo et al.
+# arXiv:2306.01116 — public papers]): a blocklist entry blocks the
+# exact host AND every subdomain of it ("example.com" blocks
+# "ads.example.com"), matched only at dot boundaries ("notexample.com"
+# passes). Implemented by expanding each host into its dot-boundary
+# suffix chain map-side and intersecting with the blocklist — for the
+# literal in-query list this is pure map-side (arrays_overlap against
+# a literal array, zero shuffle, zero Python); for a production-sized
+# blocklist the same expansion feeds a broadcast LEFT SEMI join on the
+# exploded suffixes (a host has ~3-5 suffixes, so the explode is
+# bounded and the fact side never shuffles).
+
+_BLOCKLIST = ("spam-net.com", "ads.site3.com", "site7.org")
+
+
+def host_suffixes(host):
+    """Column: all dot-boundary suffixes of a hostname, most-specific
+    first (e.g. a.b.com -> [a.b.com, b.com, com])."""
+    return F.expr(
+        f"transform(sequence(0, size(split({host}, '\\\\.')) - 1), "
+        f"i -> array_join(slice(split({host}, '\\\\.'), i + 1, "
+        f"size(split({host}, '\\\\.')) - i), '.'))"
+    )
+
+
+def filter_blocked_hosts(df: DataFrame, host_col: str = "host",
+                         blocklist: tuple[str, ...] = _BLOCKLIST) -> DataFrame:
+    """Adds (blocked, block_rule) for a host column: blocked iff any
+    dot-boundary suffix is a blocklist entry; block_rule is the most
+    specific matching entry (NULL when allowed). Map-side only."""
+    bl = ", ".join(f"'{b}'" for b in blocklist)
+    sufs = host_suffixes(host_col)
+    return df.withColumn("sufs", sufs).select(
+        *df.columns,
+        F.arrays_overlap("sufs", F.expr(f"array({bl})")).alias("blocked"),
+        # get() not [0]: null-safe under ANSI mode when nothing matches
+        F.expr(f"get(filter(sufs, s -> array_contains(array({bl}), s)), 0)")
+        .alias("block_rule"),
+    )
+
+
+_DUCK_HOSTS = """
+hosts AS (
+  SELECT doc_id,
+    CASE doc_id % 3
+      WHEN 0 THEN 'a' || CAST(doc_id % 11 AS VARCHAR) || '.spam-net.com'
+      WHEN 1 THEN 'ads.site' || CAST(doc_id % 11 AS VARCHAR) || '.com'
+      ELSE 'blog.site' || CAST(doc_id % 11 AS VARCHAR) || '.org'
+    END AS host
+  FROM documents
+)
+"""
+
+
+def _duck_host_filter() -> str:
+    bl = ", ".join(f"'{b}'" for b in _BLOCKLIST)
+    sufs = (
+        "list_transform(range(len(string_split(host, '.'))), "
+        "i -> array_to_string(list_slice(string_split(host, '.'), "
+        "i + 1, len(string_split(host, '.'))), '.'))"
+    )
+    return f"""
+WITH {_DUCK_HOSTS}, s AS (
+  SELECT doc_id, host, {sufs} AS sufs FROM hosts
+)
+SELECT doc_id, host,
+  list_has_any(sufs, [{bl}]) AS blocked,
+  list_filter(sufs, s -> list_contains([{bl}], s))[1] AS block_rule
+FROM s
+"""
+
+
+@register("url_host_filter", _duck_host_filter())
+def url_host_filter(spark, sf):
+    """Domain-suffix blocklist over a deterministic host corpus:
+    'spam-net.com' must block every subdomain, 'ads.site3.com' must
+    block exactly one host shape, 'site7.org' must block at the parent
+    -domain boundary — matched suffix recorded per row."""
+    t = load(spark, sf, "documents")
+    k = (F.col("doc_id") % 11).cast("string")
+    host = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("a"), k, F.lit(".spam-net.com")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("ads.site"), k, F.lit(".com")),
+        )
+        .otherwise(F.concat(F.lit("blog.site"), k, F.lit(".org")))
+    )
+    hosts = t.select("doc_id", host.alias("host"))
+    return filter_blocked_hosts(hosts, "host")
+
+
 @register(
     "link_domains_topk",
     _LINKS_CTE.format(page=_duck_page_expr())

@@ -156,3 +156,41 @@ def test_shard_token_budget_exact_and_bucket_invariant(spark):
         for r in shard_token_budget(df, 10, bucket_width=1 << 20).collect()
     }
     assert wide == got
+
+
+def test_host_blocklist_suffix_semantics(spark):
+    from hocr_de_noising_spark.queries.web_extract import (
+        filter_blocked_hosts,
+    )
+
+    hosts = [
+        ("ads.example.com", True, "example.com"),   # subdomain blocked
+        ("example.com", True, "example.com"),       # exact host blocked
+        ("notexample.com", False, None),            # NO dot boundary
+        ("example.com.evil.org", False, None),      # suffix only, not infix
+        ("deep.a.b.example.com", True, "example.com"),
+        ("exact.only.net", True, "exact.only.net"), # full-host entry
+        ("sub.exact.only.net", True, "exact.only.net"),
+        ("com", False, None),
+    ]
+    df = spark.createDataFrame(
+        [(h,) for h, _, _ in hosts], "host string"
+    )
+    out = {
+        r["host"]: r
+        for r in filter_blocked_hosts(
+            df, "host", blocklist=("example.com", "exact.only.net")
+        ).collect()
+    }
+    for h, blocked, rule in hosts:
+        assert out[h]["blocked"] == blocked, h
+        assert out[h]["block_rule"] == rule, h
+
+
+def test_host_blocklist_plan_map_side_only(spark, sf001_dir):
+    from hocr_de_noising_spark.queries import QUERIES
+
+    df = QUERIES["url_host_filter"]["fn"](spark, sf001_dir)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p  # literal-blocklist path: zero shuffle
+    assert "Python" not in p

@@ -526,6 +526,43 @@ def filter_blocked_hosts(df: DataFrame, host_col: str = "host",
     )
 
 
+def filter_blocked_hosts_join(
+    df: DataFrame, blocklist_df: DataFrame, host_col: str = "host"
+) -> DataFrame:
+    """Production-blocklist variant of :func:`filter_blocked_hosts`
+    for lists too large to inline (millions of entries): explode each
+    host's ≤5-suffix chain and broadcast-join the blocklist on the
+    suffix key. The fact side never shuffles (broadcast hash join on
+    the exploded rows, then a groupBy on the host row's own key would
+    be needed only if a host could match twice — avoided here by
+    taking min(entry) per input row via a join + aggregate on a
+    row-local id, which AQE keeps local). ``blocklist_df`` must have a
+    single ``entry`` string column. Returns the input plus (blocked,
+    block_rule); when several entries match, the longest (most
+    specific) wins — same tie rule as the literal path."""
+    with_id = df.withColumn("_rid", F.monotonically_increasing_id())
+    sufs = with_id.select(
+        "_rid", F.explode(host_suffixes(host_col)).alias("suf")
+    )
+    hits = (
+        sufs.join(
+            F.broadcast(blocklist_df.withColumnRenamed("entry", "suf")),
+            "suf",
+        )
+        # longest match = most specific; one row per input host
+        .groupBy("_rid")
+        .agg(F.max_by("suf", F.length("suf")).alias("block_rule"))
+    )
+    return (
+        with_id.join(hits, "_rid", "left")
+        .select(
+            *df.columns,
+            F.col("block_rule").isNotNull().alias("blocked"),
+            "block_rule",
+        )
+    )
+
+
 _DUCK_HOSTS = """
 hosts AS (
   SELECT doc_id,

@@ -194,3 +194,33 @@ def test_host_blocklist_plan_map_side_only(spark, sf001_dir):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p  # literal-blocklist path: zero shuffle
     assert "Python" not in p
+
+
+def test_host_blocklist_join_path_agrees_with_literal(spark):
+    from hocr_de_noising_spark.queries.web_extract import (
+        filter_blocked_hosts,
+        filter_blocked_hosts_join,
+    )
+
+    bl = ("example.com", "ads.example.com", "exact.only.net")
+    hosts = [
+        "ads.example.com",      # TWO entries match -> longest wins
+        "x.ads.example.com",
+        "example.com",
+        "notexample.com",
+        "sub.exact.only.net",
+        "com",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    lit = {
+        r["host"]: (r["blocked"], r["block_rule"])
+        for r in filter_blocked_hosts(df, "host", blocklist=bl).collect()
+    }
+    bdf = spark.createDataFrame([(e,) for e in bl], "entry string")
+    join = {
+        r["host"]: (r["blocked"], r["block_rule"])
+        for r in filter_blocked_hosts_join(df, bdf, "host").collect()
+    }
+    assert lit == join
+    assert lit["ads.example.com"] == (True, "ads.example.com")
+    assert lit["x.ads.example.com"] == (True, "ads.example.com")

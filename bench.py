@@ -67,6 +67,8 @@ HEADLINE = [
     # r7 web/corpus family headline keys (controls list unchanged)
     "html_main_content",
     "dedup_lines",
+    # late r7: interleaved caption mining (bounded-frame window)
+    "media_caption_pair",
 ]
 # ingest corpus: realistic Tesseract-scale pages (~300 words / ~26 KB)
 HOCR_DOCS = 8_000

@@ -362,6 +362,46 @@ SHARD_BUDGET = 1000  # tokens per output shard (registry key)
 SHARD_BUCKET = 64  # doc_ids per prefix-sum bucket (registry key)
 
 
+def exclusive_prefix_sum(
+    df: DataFrame,
+    val_col: str,
+    id_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Distributed exclusive prefix sum of ``val_col`` in ``id_col``
+    order — adds a ``_cum`` BIGINT column; exact, deterministic,
+    order-preserving (integer arithmetic throughout).
+
+    Scale shape: a GLOBAL running sum via one Window.orderBy would
+    materialize the whole corpus in a single task. Instead: (1) bucket
+    rows by id range (map-side), (2) one combiner-friendly hash
+    aggregate for per-bucket totals, (3) cumulative offsets over the
+    tiny bucket table (the only unbounded window — n/bucket_width
+    rows, e.g. 10^6 at 10^12 docs; recurse the same trick if that ever
+    overflows a task), (4) broadcast offsets back and run the
+    within-bucket running sum partitioned by bucket — every data-scale
+    window partition is bounded by bucket_width."""
+    b = df.withColumn("_bkt", F.floor(F.col(id_col) / bucket_width))
+    per_bucket = b.groupBy("_bkt").agg(F.sum(val_col).alias("_bsum"))
+    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = per_bucket.select(
+        "_bkt", F.coalesce(F.sum("_bsum").over(w_b), F.lit(0)).alias("_off")
+    )
+    w_in = (
+        Window.partitionBy("_bkt")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        b.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_cum",
+            F.col("_off") + F.coalesce(F.sum(val_col).over(w_in), F.lit(0)),
+        )
+        .drop("_bkt", "_off")
+    )
+
+
 def shard_token_budget(
     df: DataFrame,
     budget: int,
@@ -373,44 +413,16 @@ def shard_token_budget(
     ~``budget`` tokens in ``id_col`` order — the equal-sized-training-
     file sharding step that closes a curation pipeline. Returns
     (id, n_tokens, shard) with shard = floor(exclusive-prefix-sum /
-    budget): exact, deterministic, order-preserving.
-
-    Scale shape — the distributed prefix sum: a GLOBAL running sum via
-    one Window.orderBy would materialize the whole corpus in a single
-    task. Instead: (1) bucket docs by id range (map-side), (2) one
-    combiner-friendly hash aggregate for per-bucket token totals,
-    (3) cumulative offsets over the tiny bucket table (the only
-    unbounded window — n/bucket_width rows, e.g. 10^6 at 10^12 docs;
-    recurse the same trick if that ever overflows a task),
-    (4) broadcast offsets back and run the within-bucket running sum
-    partitioned by bucket — every data-scale window partition is
-    bounded by bucket_width."""
+    budget). Scale shape: the distributed prefix sum
+    (``exclusive_prefix_sum``) — no corpus-scale unbounded window."""
     toks = df.select(
         F.col(id_col),
         F.size(F.split(text_col, " ")).cast("long").alias("n_tokens"),
-        (F.floor(F.col(id_col) / bucket_width)).alias("_bkt"),
     )
-    per_bucket = toks.groupBy("_bkt").agg(F.sum("n_tokens").alias("_bsum"))
-    w_b = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = per_bucket.select(
-        "_bkt", F.coalesce(F.sum("_bsum").over(w_b), F.lit(0)).alias("_off")
-    )
-    w_in = (
-        Window.partitionBy("_bkt")
-        .orderBy(id_col)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        toks.join(F.broadcast(offsets), "_bkt")
-        .withColumn(
-            "_cum",
-            F.col("_off") + F.coalesce(F.sum("n_tokens").over(w_in), F.lit(0)),
-        )
-        .select(
-            id_col,
-            F.col("n_tokens").cast("int").alias("n_tokens"),
-            (F.col("_cum") / budget).cast("int").alias("shard"),
-        )
+    return exclusive_prefix_sum(toks, "n_tokens", id_col, bucket_width).select(
+        id_col,
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        (F.col("_cum") / budget).cast("int").alias("shard"),
     )
 
 
@@ -506,3 +518,233 @@ def sample_stratified_key(spark, sf):
         _STRATA_FRACS,
         default_frac=_STRATA_DEFAULT,
     ).select("doc_id", "source")
+
+
+# -------------------------------------- training-sequence packing --
+
+SEQ_LEN = 32  # tokens per packed training sequence (registry key)
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing — the manifest that maps each
+    document onto the fixed-length training sequences it fills
+    (sequence k = tokens [k·L, (k+1)·L) of the concatenated corpus in
+    ``id_col`` order, the standard LM pretraining batch layout).
+    Returns one row per (sequence, document) contribution:
+    (seq_id, id, doc_offset, n_tokens) where ``doc_offset`` is the
+    first contributed token's index within the document — so a
+    boundary-straddling document appears once per sequence it spans.
+
+    Scale shape: the global token cursor is ``exclusive_prefix_sum``
+    (no corpus-scale unbounded window); the span explode emits
+    ceil(n/L)+1 ≤ tiny rows per doc (JVM ``sequence``, no join); every
+    downstream column is integer arithmetic, so the manifest is exact
+    and bit-stable under any partitioning."""
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(text_col, " ")).cast("long").alias("_n"),
+    )
+    c = exclusive_prefix_sum(toks, "_n", id_col, bucket_width)
+    spanned = c.select(
+        F.col(id_col),
+        "_n",
+        "_cum",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_cum") / seq_len),
+                F.floor((F.col("_cum") + F.col("_n") - 1) / seq_len),
+            )
+        ).alias("seq_id"),
+    )
+    seg_start = F.greatest(F.col("_cum"), F.col("seq_id") * seq_len)
+    seg_end = F.least(F.col("_cum") + F.col("_n"), (F.col("seq_id") + 1) * seq_len)
+    return spanned.select(
+        F.col("seq_id").cast("int").alias("seq_id"),
+        id_col,
+        (seg_start - F.col("_cum")).cast("int").alias("doc_offset"),
+        (seg_end - seg_start).cast("int").alias("n_tokens"),
+    )
+
+
+_PACK_SQL = f"""
+SELECT CAST(seq_id AS INT) AS seq_id,
+       doc_id,
+       CAST(greatest(cum, seq_id * {SEQ_LEN}) - cum AS INT) AS doc_offset,
+       CAST(least(cum + n, (seq_id + 1) * {SEQ_LEN})
+            - greatest(cum, seq_id * {SEQ_LEN}) AS INT) AS n_tokens
+FROM (
+  SELECT doc_id, n, cum,
+         unnest(generate_series(cum // {SEQ_LEN},
+                                (cum + n - 1) // {SEQ_LEN})) AS seq_id
+  FROM (
+    SELECT doc_id, n,
+           CAST(SUM(n) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW)
+                - n AS BIGINT) AS cum
+    FROM (SELECT doc_id, len(string_split(text, ' ')) AS n
+          FROM documents WHERE text IS NOT NULL)))
+"""
+
+
+@register("pack_sequences", _PACK_SQL)
+def pack_sequences_key(spark, sf):
+    """Sequence-packing manifest over the documents table at
+    L={SEQ_LEN}: the distributed prefix-sum + span explode must equal
+    the oracle's single global running sum exactly — every sequence
+    except the last holds exactly L tokens, assembled from the docs
+    and offsets this manifest names."""
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return pack_sequences(docs, SEQ_LEN, bucket_width=SHARD_BUCKET)
+
+
+# ------------------------------- DSIR importance-weighted selection --
+
+DSIR_BUCKETS = 256  # first two md5 hex chars — portable across engines
+DSIR_K = 100
+
+
+def hashed_ngram_buckets(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram + bigram feature stream hashed into ``DSIR_BUCKETS``
+    buckets via the first two md5 hex chars of the feature string —
+    the hashed n-gram featurization of DSIR (Xie et al.,
+    arXiv:2302.03169 §3). md5-prefix bucketing is engine-portable
+    (same rule family as ``sample_split``); bigram generation is the
+    per-row JVM zip_with of ``bpe_pair_topk`` (no join, no window)."""
+    t = f"split({text_col}, ' ')"
+    feats = F.concat(
+        F.expr(t),
+        F.expr(
+            f"zip_with(slice({t}, 1, greatest(size({t}) - 1, 0)),"
+            f" slice({t}, 2, greatest(size({t}) - 1, 0)),"
+            f" (a, b) -> concat(a, ' ', b))"
+        ),
+    )
+    return df.select(F.col(id_col), F.explode(feats).alias("feat")).select(
+        id_col, F.substring(F.md5("feat"), 1, 2).alias("bkt")
+    )
+
+
+def dsir_importance(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+) -> DataFrame:
+    """DSIR-shaped data selection (Xie et al., arXiv:2302.03169):
+    score each raw document by its log importance weight
+    log p_target(x)/p_raw(x) under Laplace-smoothed hashed-n-gram
+    bucket models of the two corpora, then keep the ``top_k`` highest
+    (deterministic rank, where the paper samples by weight). Returns
+    (id, n_feats, score) with score in nats.
+
+    Per-feature log-ratios are quantized to BIGINT micro-nats before
+    the per-doc sum (the ``unigram_nll`` bit-stability discipline).
+    Scale shape: bucket stats are one combiner-friendly hash aggregate
+    over the union stream; the 256-row log-ratio table broadcasts;
+    scoring is one more hash aggregate; the k-cut is a TakeOrdered —
+    no corpus-scale window, join, or driver loop anywhere."""
+    rb = hashed_ngram_buckets(raw, text_col, id_col)
+    tb = hashed_ngram_buckets(target, text_col, id_col)
+    counts = (
+        rb.select("bkt", F.lit(0).alias("is_t"))
+        .unionAll(tb.select("bkt", F.lit(1).alias("is_t")))
+        .groupBy("bkt")
+        .agg(
+            F.sum("is_t").alias("ct"),
+            F.sum(1 - F.col("is_t")).alias("cr"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # grand totals: one 2-value driver scalar off the tiny checkpointed
+    # aggregate (None-guarded — an empty corpus must not crash, the
+    # ADVICE r6 semantic_pairs lesson)
+    tot = counts.agg(F.sum("ct"), F.sum("cr")).first()
+    t_tot = float((tot[0] if tot else 0) or 0) + DSIR_BUCKETS
+    r_tot = float((tot[1] if tot else 0) or 0) + DSIR_BUCKETS
+    lr = counts.select(
+        "bkt",
+        F.round(
+            (
+                F.log((F.col("ct") + 1) / F.lit(t_tot))
+                - F.log((F.col("cr") + 1) / F.lit(r_tot))
+            )
+            * 1e6
+        )
+        .cast("bigint")
+        .alias("lr_micro"),
+    )
+    scored = (
+        rb.join(F.broadcast(lr), "bkt")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_feats"),
+            F.sum("lr_micro").alias("_score_micro"),
+        )
+    )
+    if top_k is not None:
+        # rank on the exact integer sum, never the rounded double
+        scored = scored.orderBy(F.col("_score_micro").desc(), id_col).limit(top_k)
+    return scored.select(
+        id_col,
+        "n_feats",
+        F.round(F.col("_score_micro") / 1e6, 4).alias("score"),
+    )
+
+
+_DSIR_SQL = f"""
+WITH feats AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_t, substr(md5(f), 1, 2) AS bkt
+  FROM (SELECT doc_id,
+               unnest(t || list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i+1])) AS f
+        FROM (SELECT doc_id, string_split(text, ' ') AS t
+              FROM documents WHERE text IS NOT NULL))
+),
+counts AS (
+  SELECT bkt,
+         sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN is_t THEN 0 ELSE 1 END) AS cr
+  FROM feats GROUP BY bkt
+),
+tot AS (SELECT sum(ct) AS tt, sum(cr) AS tr FROM counts),
+lr AS (
+  SELECT bkt,
+         CAST(round((ln((ct + 1) / (tt + {DSIR_BUCKETS}.0))
+                   - ln((cr + 1) / (tr + {DSIR_BUCKETS}.0))) * 1e6)
+              AS BIGINT) AS lr_micro
+  FROM counts, tot
+)
+SELECT doc_id,
+       CAST(count(*) AS INT) AS n_feats,
+       round(sum(lr_micro) / 1e6, 4) AS score
+FROM feats JOIN lr USING (bkt)
+WHERE NOT is_t
+GROUP BY doc_id
+ORDER BY sum(lr_micro) DESC, doc_id
+LIMIT {DSIR_K}
+"""
+
+
+@register("dsir_select", _DSIR_SQL)
+def dsir_select(spark, sf):
+    """DSIR selection over the documents table: every doc_id % 10 = 0
+    document plays the high-quality target corpus, the rest are the
+    raw pool; keep the {DSIR_K} raw docs whose hashed-n-gram log
+    importance weight toward the target distribution ranks highest."""
+    docs = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    return dsir_importance(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        top_k=DSIR_K,
+    )

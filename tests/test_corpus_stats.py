@@ -158,6 +158,100 @@ def test_shard_token_budget_exact_and_bucket_invariant(spark):
     assert wide == got
 
 
+def test_pack_sequences_hand_computed(spark):
+    from hocr_de_noising_spark.queries.corpus_stats import pack_sequences
+
+    # token counts 3,5,4,6 at L=4: cursor 0,3,8,12 -> doc0 fills seq0
+    # [0,3); doc1 straddles seq0 (1 token) + seq1 (4); doc2 exactly
+    # fills seq2; doc3 spans seq3 (4) + seq4 (2)
+    rows = [(i, " ".join(["t"] * n)) for i, n in enumerate([3, 5, 4, 6])]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["doc_offset"], r["n_tokens"])
+        for r in pack_sequences(df, 4, bucket_width=2).collect()
+    )
+    assert got == [
+        (0, 0, 0, 3),
+        (0, 1, 0, 1),
+        (1, 1, 1, 4),
+        (2, 2, 0, 4),
+        (3, 3, 0, 4),
+        (4, 3, 4, 2),
+    ]
+
+
+def test_pack_sequences_invariants(spark):
+    from hocr_de_noising_spark.queries.corpus_stats import pack_sequences
+
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{j}" for j in range(rng.randint(1, 40))))
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, 16, bucket_width=8).collect()
+    # per-doc contributions reassemble the doc exactly, in offset order
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in rows:
+        segs = sorted(by_doc[i], key=lambda r: r["doc_offset"])
+        n = len(text.split(" "))
+        assert segs[0]["doc_offset"] == 0
+        assert sum(s["n_tokens"] for s in segs) == n
+        for a, b in zip(segs, segs[1:]):
+            assert b["doc_offset"] == a["doc_offset"] + a["n_tokens"]
+    # every sequence except the last holds exactly L tokens
+    by_seq: dict[int, int] = {}
+    for r in out:
+        by_seq[r["seq_id"]] = by_seq.get(r["seq_id"], 0) + r["n_tokens"]
+    last = max(by_seq)
+    assert set(by_seq) == set(range(last + 1))  # no gaps
+    for s, n in by_seq.items():
+        assert n == 16 or s == last
+    # bucket-width invariance of the distributed prefix sum
+    wide = sorted(map(tuple, pack_sequences(df, 16, bucket_width=1 << 20).collect()))
+    assert wide == sorted(map(tuple, out))
+
+
+def test_dsir_planted_target_affinity(spark):
+    from hocr_de_noising_spark.queries.corpus_stats import dsir_importance
+
+    target = spark.createDataFrame(
+        [(1000 + i, "quantum physics research on entangled photon states")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(0, "quantum physics research on photon detectors"),
+         (1, "entangled states of quantum systems"),
+         (2, "buy cheap pills online casino bonus now"),
+         (3, "click here free casino spins winner prize")],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in dsir_importance(raw, target).collect()
+    }
+    # every target-like doc outranks every junk doc
+    assert min(scores[0], scores[1]) > max(scores[2], scores[3])
+    # top_k keeps the highest-scoring docs
+    kept = {r["doc_id"] for r in dsir_importance(raw, target, top_k=2).collect()}
+    assert kept == {0, 1}
+
+
+def test_dsir_empty_target_no_crash(spark):
+    from hocr_de_noising_spark.queries.corpus_stats import dsir_importance
+
+    raw = spark.createDataFrame([(0, "some words here")], ["doc_id", "text"])
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = dsir_importance(raw, empty).collect()
+    # uniform-smoothed target: scoring still runs, one row per raw doc
+    assert len(out) == 1 and out[0]["n_feats"] == 5
+
+
 def test_host_blocklist_suffix_semantics(spark):
     from hocr_de_noising_spark.queries.web_extract import (
         filter_blocked_hosts,

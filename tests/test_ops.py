@@ -136,7 +136,7 @@ def test_text_keys_on_adversarial_corpus(spark, tmp_path):
         "html_main_content", "dedup_lines", "vocab_topk",
         "quality_perplexity", "url_canonicalize", "bpe_pair_topk",
         "sample_stratified", "shard_token_budget",
-        "html_main_content_dom",
+        "html_main_content_dom", "pack_sequences", "dsir_select",
     ]
     for name in keys:
         sdf = QUERIES[name]["fn"](spark, str(sdir)).toPandas()

@@ -277,3 +277,24 @@ def test_r7_shard_plan_is_distributed_prefix_sum(spark):
     # the doc-level window carries a partition spec ([_bkt]) — a global
     # unpartitioned window over the data would render without one
     assert re.search(r"windowspecdefinition\(_bkt#\d+L?, doc_id", p), p
+
+
+def test_r7_pack_and_dsir_plan_shape(spark):
+    """pack_sequences: the shared distributed prefix sum (exactly one
+    SinglePartition exchange — the tiny bucket-offsets table; the
+    data-scale window partitions by bucket) plus a per-row JVM span
+    explode — no extra join beyond the offsets broadcast.
+    dsir_select: bucket log-ratios reach the feature stream via
+    BroadcastHashJoin, the per-doc score is a hash agg with map-side
+    partials, the k-cut is a TakeOrdered — no corpus-scale window, no
+    cartesian, zero Python."""
+    pk = QUERIES["pack_sequences"]["fn"](spark, SF)
+    p = plan_str(pk)
+    assert p.count("Exchange SinglePartition") == 1, p
+    assert "BroadcastHashJoin" in p and "CartesianProduct" not in p, p
+    assert re.search(r"windowspecdefinition\(_bkt#\d+L?, doc_id", p), p
+    ds = QUERIES["dsir_select"]["fn"](spark, SF)
+    pd_ = plan_str(ds)
+    assert "BroadcastHashJoin" in pd_ and "CartesianProduct" not in pd_, pd_
+    assert "TakeOrderedAndProject" in pd_ and "partial_count" in pd_, pd_
+    assert "Window" not in pd_ and "Python" not in pd_, pd_

@@ -35,6 +35,7 @@ Scale design (100 TB):
 from __future__ import annotations
 
 import math
+import sys
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -652,7 +653,17 @@ def dsir_importance(
     Scale shape: bucket stats are one combiner-friendly hash aggregate
     over the union stream; the 256-row log-ratio table broadcasts;
     scoring is one more hash aggregate; the k-cut is a TakeOrdered —
-    no corpus-scale window, join, or driver loop anywhere."""
+    no corpus-scale window, join, or driver loop anywhere.
+
+    Semantics caveats (measured, not hypothetical): (1) a target
+    corpus whose feature count is small relative to the bucket count
+    leaves the ratios dominated by Laplace smoothing — selection
+    degenerates toward noise, so a loud warning fires when target
+    features < DSIR_BUCKETS; (2) the paper's score is the SUM of
+    per-feature log-ratios over fixed-length chunks — on
+    variable-length docs a mostly-negative ratio field penalizes
+    longer docs, so chunk or length-normalize upstream if doc lengths
+    vary wildly."""
     rb = hashed_ngram_buckets(raw, text_col, id_col)
     tb = hashed_ngram_buckets(target, text_col, id_col)
     counts = (
@@ -669,7 +680,16 @@ def dsir_importance(
     # aggregate (None-guarded — an empty corpus must not crash, the
     # ADVICE r6 semantic_pairs lesson)
     tot = counts.agg(F.sum("ct"), F.sum("cr")).first()
-    t_tot = float((tot[0] if tot else 0) or 0) + DSIR_BUCKETS
+    n_target_feats = int((tot[0] if tot else 0) or 0)
+    if 0 < n_target_feats < DSIR_BUCKETS:
+        print(
+            f"WARNING: DSIR target corpus has only {n_target_feats} "
+            f"features across {DSIR_BUCKETS} hash buckets — importance "
+            f"weights are dominated by smoothing and the selection is "
+            f"close to noise; supply a larger target corpus",
+            file=sys.stderr,
+        )
+    t_tot = float(n_target_feats) + DSIR_BUCKETS
     r_tot = float((tot[1] if tot else 0) or 0) + DSIR_BUCKETS
     lr = counts.select(
         "bkt",

@@ -239,6 +239,8 @@ def run_trainprep_job(
     line_dedup: bool = False,
     line_df_cap: int = 4,
     shard_budget: int | None = None,
+    dsir_target_dir: str | None = None,
+    dsir_keep: int | None = None,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -276,6 +278,18 @@ def run_trainprep_job(
             file=sys.stderr,
         )
 
+    # DSIR selection follows the semantic rule: explicitly requested,
+    # so a missing target table must be loud, never a silent no-op
+    has_dsir = bool(dsir_target_dir) and bool(dsir_keep)
+    if dsir_target_dir and not os.path.exists(dsir_target_dir):
+        print(
+            f"WARNING: --dsir-target {dsir_target_dir} does not exist; "
+            f"the DSIR selection stage is SKIPPED and the corpus is "
+            f"unselected",
+            file=sys.stderr,
+        )
+        has_dsir = False
+
     p_hash = params_hash(
         input=sf_dir,
         output=out_dir,
@@ -291,6 +305,8 @@ def run_trainprep_job(
         line_dedup=line_dedup,
         line_df_cap=line_df_cap if line_dedup else None,
         shard_budget=shard_budget,
+        dsir_target=dsir_target_dir if has_dsir else None,
+        dsir_keep=dsir_keep if has_dsir else None,
     )
     sr = StageRunner(
         StageManifest(manifest_dir) if manifest_dir else None,
@@ -504,6 +520,43 @@ def run_trainprep_job(
             "semantic_pruned": n_of(os.path.join(sem_dir, "prune_map"))
         }
 
+    # optional DSIR selection stage (Xie et al., arXiv:2302.03169):
+    # among the docs that would otherwise reach the corpus (keepers,
+    # minus semantic prunes), keep the dsir_keep whose hashed-n-gram
+    # log importance weight toward the user-supplied target corpus
+    # ranks highest. Runs LAST among the selectors by design — scoring
+    # after dedup/pruning means duplicates cannot crowd the selection
+    # budget. The stage commits (doc_id, n_feats, score) so resumed
+    # runs and downstream audits see WHY each doc was kept.
+    dsir_summary: dict = {}
+    if has_dsir:
+        dsir_sel_path = os.path.join(out_dir, "dsir", "selected")
+
+        def write_dsir():
+            from hocr_de_noising_spark.queries.corpus_stats import (
+                dsir_importance,
+            )
+
+            keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
+            pool = keepers.select("doc_id").join(
+                spark.read.parquet(
+                    os.path.join(dedup_input_dir, "documents.parquet")
+                ),
+                "doc_id",
+            )
+            if has_embeddings:
+                prune = spark.read.parquet(
+                    os.path.join(out_dir, "semantic", "prune_map")
+                )
+                pool = pool.join(prune.select("doc_id"), "doc_id", "left_anti")
+            target = spark.read.parquet(dsir_target_dir)
+            dsir_importance(pool, target, top_k=dsir_keep).write.mode(
+                "overwrite"
+            ).parquet(dsir_sel_path)
+
+        sr.run("dsir_select", write_dsir, lambda: n_of(dsir_sel_path))
+        dsir_summary = {"dsir_selected": n_of(dsir_sel_path)}
+
     def write_corpus():
         keepers = spark.read.parquet(os.path.join(dedup_dir, "keepers"))
         filtered = spark.read.parquet(
@@ -514,6 +567,9 @@ def run_trainprep_job(
         if has_embeddings:
             prune = spark.read.parquet(os.path.join(out_dir, "semantic", "prune_map"))
             final = final.join(prune.select("doc_id"), "doc_id", "left_anti")
+        if has_dsir:
+            sel = spark.read.parquet(os.path.join(out_dir, "dsir", "selected"))
+            final = final.join(sel.select("doc_id"), "doc_id")
         if has_media:
             # remap_media_refs references its input from three plan
             # branches (with-media / no-media split + the re-join) and
@@ -560,6 +616,7 @@ def run_trainprep_job(
         **line_summary,
         "dedup": dedup_summary,
         **sem_summary,
+        **dsir_summary,
         **decon_summary,
         **media_summary,
         "stage_secs": sr.stage_secs,
@@ -607,6 +664,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--media-near-dedup", action="store_true",
                     help="also collapse perceptual near-duplicate media "
                          "(re-encoded copies the byte hash misses)")
+    ap.add_argument("--dsir-target", default=None,
+                    help="parquet of target-domain docs (doc_id, text): "
+                         "enables the DSIR importance-selection stage")
+    ap.add_argument("--dsir-keep", type=int, default=None,
+                    help="number of docs the DSIR stage keeps (top-k by "
+                         "hashed-n-gram log importance weight)")
     args = ap.parse_args(argv)
     spark = get_spark("hocr-trainprep-job", cores=args.cores)
     summary = run_trainprep_job(
@@ -627,6 +690,8 @@ def main(argv: list[str] | None = None) -> None:
         line_dedup=args.line_dedup,
         line_df_cap=args.line_df_cap,
         shard_budget=args.shard_budget,
+        dsir_target_dir=args.dsir_target,
+        dsir_keep=args.dsir_keep,
     )
     print(summary)
     spark.stop()

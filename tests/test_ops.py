@@ -1135,3 +1135,84 @@ def test_trainprep_shard_budget(spark, tmp_path):
         cum += len(r.text.split(" "))
     assert expected_ok
     assert rows[-1].shard > 0  # the corpus actually spans shards
+
+
+def test_trainprep_dsir_stage(spark, tmp_path):
+    """--dsir-target/--dsir-keep (r7): the DSIR selection stage keeps
+    the top-k surviving docs by hashed-n-gram importance toward the
+    target corpus, commits (doc_id, n_feats, score) for audit, is
+    resumable with both knobs in the param lineage, and a missing
+    target table warns loudly instead of silently no-opping."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    quantum = [
+        "the quantum detector measured entangled photon states in the laboratory",
+        "entangled photon pairs reached the quantum detector through the interferometer",
+        "laboratory benchmarks aligned the quantum interferometer with entangled photon states",
+    ]
+    junk = [
+        "lottery jackpot seekers entered the betting emporium every evening",
+        "discount voucher codes expire midnight hurry shoppers before closing",
+        "celebrity gossip roundup features dresses parties yachts and champagne",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(quantum + junk)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.write.parquet(str(src / "documents.parquet"))
+    tgt_path = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        [(100, "quantum detector entangled photon states laboratory"
+               " interferometer measurements"),
+         (101, "entangled photon states laboratory quantum detector"
+               " interferometer calibration"),
+         (102, "the quantum detector recorded entangled photon states"
+               " for the interferometer"),
+         (103, "interferometer laboratory detector quantum entangled"
+               " photon states archive")],
+        "doc_id long, text string",
+    ).write.parquet(tgt_path)
+
+    out = str(tmp_path / "prep")
+    man = str(tmp_path / "man")
+    kwargs = dict(
+        min_quality=0.1, langs=("en",), jaccard_threshold=0.2,
+        dsir_target_dir=tgt_path, dsir_keep=3,
+    )
+    s = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="ds", **kwargs
+    )
+    assert "dsir_select" in s["stages_run"]
+    assert s["dsir_selected"] == 3 and s["n_final"] == 3
+    corpus_ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    assert corpus_ids == {0, 1, 2}  # the quantum docs, not the junk
+    sel = spark.read.parquet(os.path.join(out, "dsir", "selected"))
+    assert set(sel.columns) == {"doc_id", "n_feats", "score"}
+    # resume skips the committed stage; counts persist from the output
+    s2 = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="ds", **kwargs
+    )
+    assert "dsir_select" in s2["stages_skipped"]
+    assert s2["dsir_selected"] == 3 and s2["n_final"] == 3
+    # a different keep budget is a different lineage: stage re-runs
+    s3 = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="ds",
+        **{**kwargs, "dsir_keep": 5},
+    )
+    assert "dsir_select" in s3["stages_run"]
+    assert s3["dsir_selected"] == 5 and s3["n_final"] == 5
+    # missing target table: loud warning, stage skipped, corpus whole
+    s4 = run_trainprep_job(
+        spark, str(src), str(tmp_path / "prep2"),
+        **{**kwargs, "dsir_target_dir": str(tmp_path / "nope.parquet")},
+    )
+    assert "dsir_select" not in s4["stages_run"]
+    assert "dsir_selected" not in s4 and s4["n_final"] == 6

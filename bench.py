@@ -69,6 +69,9 @@ HEADLINE = [
     "dedup_lines",
     # late r7: interleaved caption mining (bounded-frame window)
     "media_caption_pair",
+    # late r7: target-aware selection + training-sequence packing
+    "dsir_select",
+    "pack_sequences",
 ]
 # ingest corpus: realistic Tesseract-scale pages (~300 words / ~26 KB)
 HOCR_DOCS = 8_000

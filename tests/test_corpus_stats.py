@@ -242,6 +242,31 @@ def test_dsir_planted_target_affinity(spark):
     assert kept == {0, 1}
 
 
+def test_dsir_fast_hash_same_separation(spark):
+    # fast_hash swaps md5 for xxhash64 bucketing: individual scores
+    # differ (different collisions) but the planted target/junk
+    # separation must hold under either featurization
+    from hocr_de_noising_spark.queries.corpus_stats import dsir_importance
+
+    target = spark.createDataFrame(
+        [(1000 + i, "quantum physics research on entangled photon states")
+         for i in range(5)],
+        ["doc_id", "text"],
+    )
+    raw = spark.createDataFrame(
+        [(0, "quantum physics research on photon detectors"),
+         (1, "entangled states of quantum systems"),
+         (2, "buy cheap pills online casino bonus now"),
+         (3, "click here free casino spins winner prize")],
+        ["doc_id", "text"],
+    )
+    scores = {
+        r["doc_id"]: r["score"]
+        for r in dsir_importance(raw, target, fast_hash=True).collect()
+    }
+    assert min(scores[0], scores[1]) > max(scores[2], scores[3])
+
+
 def test_dsir_empty_target_no_crash(spark):
     from hocr_de_noising_spark.queries.corpus_stats import dsir_importance
 

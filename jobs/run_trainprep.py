@@ -241,6 +241,7 @@ def run_trainprep_job(
     shard_budget: int | None = None,
     dsir_target_dir: str | None = None,
     dsir_keep: int | None = None,
+    pack_seq_len: int | None = None,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
     and per-stage wall seconds.
@@ -307,6 +308,7 @@ def run_trainprep_job(
         shard_budget=shard_budget,
         dsir_target=dsir_target_dir if has_dsir else None,
         dsir_keep=dsir_keep if has_dsir else None,
+        pack_seq_len=pack_seq_len,
     )
     sr = StageRunner(
         StageManifest(manifest_dir) if manifest_dir else None,
@@ -606,6 +608,33 @@ def run_trainprep_job(
     )
     n_final = spark.read.parquet(os.path.join(out_dir, "corpus")).count()
 
+    # optional training-sequence packing manifest (the concat-and-chunk
+    # LM batch layout): one row per (sequence, doc) contribution over
+    # the WRITTEN corpus, so a trainer can assemble fixed-length
+    # sequences without re-deriving the token cursor. Its own stage
+    # AFTER final_corpus: reads the committed output, so resume never
+    # recomputes the corpus to re-pack it.
+    pack_summary: dict = {}
+    if pack_seq_len:
+        pack_path = os.path.join(out_dir, "pack", "manifest")
+
+        def write_pack():
+            from hocr_de_noising_spark.queries.corpus_stats import (
+                pack_sequences,
+            )
+
+            corpus = spark.read.parquet(os.path.join(out_dir, "corpus"))
+            pack_sequences(corpus, pack_seq_len).write.mode(
+                "overwrite"
+            ).parquet(pack_path)
+
+        sr.run("pack_manifest", write_pack, lambda: n_of(pack_path))
+        pack_summary = {
+            "n_sequences": spark.read.parquet(pack_path)
+            .agg(F.countDistinct("seq_id"))
+            .first()[0]
+        }
+
     return {
         "n_input": n_in,
         "n_after_gates": n_filtered,
@@ -617,6 +646,7 @@ def run_trainprep_job(
         "dedup": dedup_summary,
         **sem_summary,
         **dsir_summary,
+        **pack_summary,
         **decon_summary,
         **media_summary,
         "stage_secs": sr.stage_secs,
@@ -670,6 +700,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dsir-keep", type=int, default=None,
                     help="number of docs the DSIR stage keeps (top-k by "
                          "hashed-n-gram log importance weight)")
+    ap.add_argument("--pack-seq-len", type=int, default=None,
+                    help="emit pack/manifest mapping the final corpus "
+                         "onto fixed-length training sequences")
     args = ap.parse_args(argv)
     spark = get_spark("hocr-trainprep-job", cores=args.cores)
     summary = run_trainprep_job(
@@ -692,6 +725,7 @@ def main(argv: list[str] | None = None) -> None:
         shard_budget=args.shard_budget,
         dsir_target_dir=args.dsir_target,
         dsir_keep=args.dsir_keep,
+        pack_seq_len=args.pack_seq_len,
     )
     print(summary)
     spark.stop()

@@ -1216,3 +1216,67 @@ def test_trainprep_dsir_stage(spark, tmp_path):
     )
     assert "dsir_select" not in s4["stages_run"]
     assert "dsir_selected" not in s4 and s4["n_final"] == 6
+
+
+def test_trainprep_pack_manifest_stage(spark, tmp_path):
+    """--pack-seq-len (r7): the packing stage emits a (seq_id, doc_id,
+    doc_offset, n_tokens) manifest over the WRITTEN corpus — per-doc
+    contributions reassemble each surviving doc exactly, every
+    non-final sequence holds exactly L tokens, and the stage resumes
+    without recomputing the corpus."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    texts = [
+        "eleven green lanterns were lighted beside the eastern gate",
+        "the engineers measured the riverbed then erected the bridge",
+        "every merchant weighed the peppercorns twice for the ledger",
+        "the keeper swept the terrace every evening before the bells",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = tmp_path / "in"
+    src.mkdir()
+    docs.write.parquet(str(src / "documents.parquet"))
+    out = str(tmp_path / "prep")
+    man = str(tmp_path / "man")
+    kwargs = dict(min_quality=0.1, langs=("en",), jaccard_threshold=0.2,
+                  pack_seq_len=7)
+    s = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="pk", **kwargs
+    )
+    assert "pack_manifest" in s["stages_run"]
+    corpus = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    }
+    manifest = spark.read.parquet(os.path.join(out, "pack", "manifest")).collect()
+    # per-doc contributions cover each surviving doc exactly
+    per_doc: dict[int, int] = {}
+    per_seq: dict[int, int] = {}
+    for r in manifest:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens"]
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens"]
+    assert per_doc == {
+        i: len(t.split(" ")) for i, t in corpus.items()
+    }
+    last = max(per_seq)
+    assert s["n_sequences"] == last + 1
+    for k, v in per_seq.items():
+        assert v == 7 or k == last
+    # resume: the stage skips, the count persists
+    s2 = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="pk", **kwargs
+    )
+    assert "pack_manifest" in s2["stages_skipped"]
+    assert s2["n_sequences"] == s["n_sequences"]
+    # different L = different lineage: stage re-runs
+    s3 = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="pk",
+        **{**kwargs, "pack_seq_len": 11},
+    )
+    assert "pack_manifest" in s3["stages_run"]

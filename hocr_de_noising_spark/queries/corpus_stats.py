@@ -680,6 +680,28 @@ def dsir_importance(
     variable-length docs a mostly-negative ratio field penalizes
     longer docs, so chunk or length-normalize upstream if doc lengths
     vary wildly."""
+    lr = dsir_bucket_log_ratios(
+        raw, target, text_col=text_col, id_col=id_col, fast_hash=fast_hash
+    )
+    return dsir_score(
+        raw, lr, text_col=text_col, id_col=id_col, top_k=top_k,
+        fast_hash=fast_hash,
+    )
+
+
+def dsir_bucket_log_ratios(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """The DSIR importance MODEL: the tiny (bkt, lr_micro) table of
+    Laplace-smoothed log p_target/p_raw per hash bucket. Split out so
+    the model can be trained ONCE on a batch sample and then applied
+    to new data — including a readStream source, where ``dsir_score``
+    with a frozen model is the incremental-selection path (the model
+    table broadcasts into every micro-batch)."""
     rb = hashed_ngram_buckets(raw, text_col, id_col, fast_hash=fast_hash)
     tb = hashed_ngram_buckets(target, text_col, id_col, fast_hash=fast_hash)
     counts = (
@@ -707,7 +729,7 @@ def dsir_importance(
         )
     t_tot = float(n_target_feats) + DSIR_BUCKETS
     r_tot = float((tot[1] if tot else 0) or 0) + DSIR_BUCKETS
-    lr = counts.select(
+    return counts.select(
         "bkt",
         F.round(
             (
@@ -719,12 +741,31 @@ def dsir_importance(
         .cast("bigint")
         .alias("lr_micro"),
     )
+
+
+def dsir_score(
+    df: DataFrame,
+    log_ratios: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int | None = None,
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Score documents against a frozen DSIR model (the
+    ``dsir_bucket_log_ratios`` table): per-doc sum of per-feature
+    micro-nat log-ratios via one broadcast join + one hash aggregate.
+    Works identically on a batch frame or inside a streaming
+    foreachBatch (the model is static and broadcasts; no streaming
+    state needed). Buckets absent from the model score 0 — impossible
+    when the model was trained on a superset corpus, and the neutral
+    choice for genuinely novel buckets on a stream."""
+    fb = hashed_ngram_buckets(df, text_col, id_col, fast_hash=fast_hash)
     scored = (
-        rb.join(F.broadcast(lr), "bkt")
+        fb.join(F.broadcast(log_ratios), "bkt", "left")
         .groupBy(id_col)
         .agg(
             F.count("*").cast("int").alias("n_feats"),
-            F.sum("lr_micro").alias("_score_micro"),
+            F.sum(F.coalesce("lr_micro", F.lit(0))).alias("_score_micro"),
         )
     )
     if top_k is not None:

@@ -1376,6 +1376,63 @@ def _pii_scrub_impl(spark, sf, strict_phone: bool = False):
     )
 
 
+def pii_scrub_spans(
+    df: "DataFrame", spans_col: str = "spans", strict_phone: bool = False
+):
+    """PII redaction over the north-rule interleaved spans shape
+    (spans: array<struct<kind,text,media_ref,offset>>): text spans are
+    masked IN PLACE with the same staged email -> IPv4 -> phone rule
+    as the flat ``pii_scrub``; image/media spans pass through
+    byte-identical, and (kind, media_ref, offset, order) are untouched
+    everywhere — the span-sequence-equality invariant holds at every
+    position where no PII matched. Adds typed per-doc counts
+    (n_email/n_ip/n_phone), each counted on the previous stage's text
+    so masks never double-fire (the pii_scrub staging rule).
+
+    Pure map-side JVM array HOFs (transform/aggregate) — one scan,
+    zero shuffle, zero Python; composes before or after the denoise
+    pipeline since both preserve the spans schema."""
+    phone = PII_PHONE_STRICT if strict_phone else PII_PHONE
+
+    def is_text(s):
+        return (s["kind"] == F.lit("text")) & s["text"].isNotNull()
+
+    def t1(s):
+        return F.regexp_replace(s["text"], PII_EMAIL, "[EMAIL]")
+
+    def t2(s):
+        return F.regexp_replace(t1(s), PII_IPV4, "[IP]")
+
+    def n_of(fn, pat):
+        return F.aggregate(
+            F.col(spans_col),
+            F.lit(0),
+            lambda acc, s: acc
+            + F.when(
+                is_text(s),
+                F.size(F.regexp_extract_all(fn(s), F.lit(pat), F.lit(0))),
+            ).otherwise(F.lit(0)),
+        )
+
+    scrubbed = F.transform(
+        F.col(spans_col),
+        lambda s: F.struct(
+            s["kind"].alias("kind"),
+            F.when(is_text(s), F.regexp_replace(t2(s), phone, "[PHONE]"))
+            .otherwise(s["text"])
+            .alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+        ),
+    )
+    return (
+        df.withColumn("n_email", n_of(lambda s: s["text"], PII_EMAIL))
+        .withColumn("n_ip", n_of(t1, PII_IPV4))
+        .withColumn("n_phone", n_of(t2, phone))
+        .withColumn(spans_col, scrubbed)
+    )
+
+
 @register("pii_scrub", _pii_sql(PII_PHONE))
 def pii_scrub(spark, sf, strict_phone: bool = False):
     """PII redaction pass for training corpora: mask emails, IPv4

@@ -1280,3 +1280,49 @@ def test_trainprep_pack_manifest_stage(spark, tmp_path):
         **{**kwargs, "pack_seq_len": 11},
     )
     assert "pack_manifest" in s3["stages_run"]
+
+
+def test_pii_scrub_spans_preserves_interleaving(spark):
+    """pii_scrub_spans (r7): PII masked inside text spans IN PLACE;
+    media spans byte-identical; (kind, media_ref, offset, order)
+    untouched; typed counts follow the flat pii_scrub staging rule;
+    strict mode leaves year ranges unmasked."""
+    from hocr_de_noising_spark.queries.trainprep import pii_scrub_spans
+
+    spans = [
+        ("text", "contact alice@a.io or bob@b.org today", None, 0),
+        ("image", None, "m/1.png", 1),
+        ("text", "server 10.0.0.1 answered", None, 2),
+        ("text", "call 555-867-5309 now", None, 3),
+        ("figure", "caption stays verbatim 1990 - 1998", "m/2.png", 4),
+        ("text", None, None, 5),  # null-text text span
+        ("text", "range 1990 - 1998 is not a phone", None, 6),
+    ]
+    df = spark.createDataFrame(
+        [(7, spans)],
+        "doc_id long, spans array<struct<kind string, text string,"
+        " media_ref string, offset int>>",
+    )
+    (row,) = pii_scrub_spans(df).collect()
+    out = row["spans"]
+    # order, kinds, media_refs, offsets all untouched
+    assert [(s["kind"], s["media_ref"], s["offset"]) for s in out] == [
+        (k, m, o) for k, _, m, o in spans
+    ]
+    assert out[0]["text"] == "contact [EMAIL] or [EMAIL] today"
+    assert out[1]["text"] is None          # image span byte-identical
+    assert out[2]["text"] == "server [IP] answered"
+    assert out[3]["text"] == "call [PHONE] now"
+    assert out[4]["text"] == spans[4][1]   # non-text kind NOT masked
+    assert out[5]["text"] is None
+    # aggressive default phone pattern eats the year range (documented)
+    assert out[6]["text"] == "range [PHONE] is not a phone"
+    assert (row["n_email"], row["n_ip"], row["n_phone"]) == (2, 1, 2)
+    # strict mode: the year range survives, the real phone is masked
+    (srow,) = pii_scrub_spans(df, strict_phone=True).collect()
+    assert srow["spans"][6]["text"] == spans[6][1]
+    assert srow["spans"][3]["text"] == "call [PHONE] now"
+    assert srow["n_phone"] == 1
+    # zero shuffle, zero Python in the plan
+    p = pii_scrub_spans(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p and "Python" not in p

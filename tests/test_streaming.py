@@ -213,3 +213,57 @@ def test_streaming_gate_stage_matches_batch(spark, stream_dirs):
     assert streamed.count() == batch.count() > 0
     assert streamed.exceptAll(batch).isEmpty()
     assert batch.exceptAll(streamed).isEmpty()
+
+
+def test_streaming_dsir_score_matches_batch(spark, stream_dirs):
+    """r7: DSIR as incremental selection — the importance model
+    (dsir_bucket_log_ratios) is trained ONCE on a batch sample, frozen
+    to a plain table, and applied to a readStream source inside
+    foreachBatch via dsir_score (static broadcast, no streaming
+    state). Streamed scores must equal batch scores row-for-row."""
+    from hocr_de_noising_spark.queries.corpus_stats import (
+        dsir_bucket_log_ratios,
+        dsir_score,
+    )
+
+    ddl = "doc_id long, text string"
+    seed = spark.createDataFrame(
+        [(100, "the keeper recorded evening measurements beside the pier"),
+         (101, "seventeen letters reached the evening ferry before dusk")],
+        ddl,
+    )
+    target = spark.createDataFrame(
+        [(200, "evening measurements of the keeper beside the pier"),
+         (201, "the evening ferry delivered letters to the keeper")],
+        ddl,
+    )
+    # freeze the model (materialized, as a production run would persist it)
+    lr_path = os.path.join(stream_dirs["in"], "..", "lr.parquet")
+    dsir_bucket_log_ratios(seed, target).write.parquet(lr_path)
+    lr = spark.read.parquet(lr_path)
+
+    arriving = spark.createDataFrame(
+        [(0, "the keeper measured the evening tide beside the pier"),
+         (1, "discount voucher codes expire before midnight closing"),
+         (2, "letters for the keeper reached the ferry that evening")],
+        ddl,
+    )
+    arriving.write.mode("overwrite").parquet(stream_dirs["in"])
+    batch = dsir_score(arriving, lr)
+
+    stream_src = spark.readStream.schema(ddl).parquet(stream_dirs["in"])
+    q = (
+        stream_src.writeStream.foreachBatch(
+            lambda b, _: dsir_score(b, lr)
+            .write.mode("append")
+            .parquet(stream_dirs["out"])
+        )
+        .option("checkpointLocation", stream_dirs["ckpt"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = spark.read.parquet(stream_dirs["out"])
+    assert streamed.count() == batch.count() == 3
+    assert streamed.exceptAll(batch).isEmpty()
+    assert batch.exceptAll(streamed).isEmpty()

@@ -358,10 +358,63 @@ def _assign_cells_array(e, nlist: int, dim: int, n_assign: int = 1):
     return e.withColumn("cell", F.explode(cells_of("v")))
 
 
-def _assigned_blocks(emb, nlist: int | None = None, n_assign: int = 1):
+def _assign_cells_imi(e, nlist: int, dim: int, n_assign: int = 1):
+    """IMI-style product coarse quantizer (Babenko & Lempitsky, "The
+    Inverted Multi-Index", CVPR 2012 — public paper): two independent
+    deterministic codebooks A (G1 directions) and B (G2), G1·G2 >=
+    nlist, cell = argmaxA·G2 + argmaxB. A near-identical pair shares
+    BOTH argmaxes, so the SemDeDup collision property is preserved,
+    while assignment work drops O(n·nlist·dim) -> O(n·(G1+G2)·dim) —
+    under the nlist ∝ n sizing rule that is the difference between
+    QUADRATIC total assignment work and n^1.5; at 10^12 docs the flat
+    matmul is the semantic stage's first scale-killer (measured: the
+    2M capstone's semantic stage grew 3.8x at 2x docs, the nlist term).
+    ``n_assign`` OR-amplifies per codebook (top-k in A x top-k in B ->
+    k² cells) — the same boundary-flip cure as the flat quantizer."""
+    import math as _math
+
+    import numpy as _np
+    from pyspark.sql.functions import pandas_udf
+
+    G1 = 1 if nlist <= 1 else _math.isqrt(nlist - 1) + 1  # ceil(sqrt)
+    G2 = (nlist + G1 - 1) // G1
+    ca = _np.array(_dense_centroids(G1, dim, seed=7654321), dtype=_np.float64).T
+    cb = _np.array(_dense_centroids(G2, dim, seed=24680135), dtype=_np.float64).T
+
+    if n_assign <= 1:
+
+        @pandas_udf("int")
+        def cell_of(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+            for vs in it:
+                m = _np.array(vs.tolist(), dtype=_np.float64)
+                a = _np.argmax(m @ ca, axis=1)
+                b = _np.argmax(m @ cb, axis=1)
+                yield pd.Series((a * G2 + b).astype("int32"))
+
+        return e.withColumn("cell", cell_of("v"))
+
+    @pandas_udf("array<int>")
+    def cells_of(it: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vs in it:
+            m = _np.array(vs.tolist(), dtype=_np.float64)
+            da, db = m @ ca, m @ cb
+            ta = _np.argpartition(-da, n_assign - 1, axis=1)[:, :n_assign]
+            tb = _np.argpartition(-db, n_assign - 1, axis=1)[:, :n_assign]
+            cells = (ta[:, :, None] * G2 + tb[:, None, :]).reshape(len(m), -1)
+            yield pd.Series([row.astype("int32").tolist() for row in cells])
+
+    return e.withColumn("cell", F.explode(cells_of("v")))
+
+
+def _assigned_blocks(
+    emb, nlist: int | None = None, n_assign: int = 1, quantizer: str = "flat"
+):
     """(vec_id, v, cell, sub) — map-side cell assignment plus the
     EMBED_BLOCK_CAP sub-blocking window. Shared by the pair and the
-    block-local-components stages so both see identical blocks."""
+    block-local-components stages so both see identical blocks.
+    ``quantizer="imi"`` takes the O(sqrt(nlist)) product-codebook
+    assignment (different cell ids than flat — a quantizer choice,
+    not an approximation of flat)."""
     from hocr_de_noising_spark.queries.trainprep import EMBED_BLOCK_CAP
 
     e = emb.select(
@@ -389,7 +442,10 @@ def _assigned_blocks(emb, nlist: int | None = None, n_assign: int = 1):
             # the frame has no rows to mis-assign
             assigned = e.withColumn("cell", F.lit(0))
         else:
-            assigned = _assign_cells_array(e, nlist, row.n, n_assign).select(
+            assign = (
+                _assign_cells_imi if quantizer == "imi" else _assign_cells_array
+            )
+            assigned = assign(e, nlist, row.n, n_assign).select(
                 "vec_id", "v", "cell"
             )
     w = Window.partitionBy("cell").orderBy("vec_id")
@@ -404,6 +460,7 @@ def semantic_pairs(
     nlist: int | None = None,
     n_assign: int = 1,
     vectorized: bool | None = None,
+    quantizer: str = "flat",
 ):
     """Cosine-near pairs (doc_a, doc_b, cosine) within fixed-centroid
     cells, sub-blocked to EMBED_BLOCK_CAP. ``emb``: (vec_id,
@@ -415,7 +472,7 @@ def semantic_pairs(
     own rule: cluster count grows with corpus size) — otherwise the
     deterministic sub-blocking starts splitting true near-pairs across
     sub-blocks, trading recall for the O(n * cap) bound."""
-    s = _assigned_blocks(emb, nlist, n_assign)
+    s = _assigned_blocks(emb, nlist, n_assign, quantizer=quantizer)
     if vectorized is None:
         vectorized = nlist is not None
     if vectorized:
@@ -558,6 +615,7 @@ def semantic_prune(
     nlist: int | None = None,
     n_assign: int = 1,
     vectorized: bool | None = None,
+    quantizer: str = "flat",
 ):
     """(vec_id, sem_rep) for every vector in a semantic component —
     rows with sem_rep != vec_id are the prune set (SemDeDup keeps one
@@ -572,11 +630,13 @@ def semantic_prune(
     from hocr_de_noising_spark.queries.trainprep import connected_components
 
     if n_assign == 1 and vectorized is not False:
-        return _block_components_pandas(_assigned_blocks(emb, nlist, 1), threshold)
+        return _block_components_pandas(
+            _assigned_blocks(emb, nlist, 1, quantizer=quantizer), threshold
+        )
     comps = connected_components(
         semantic_pairs(
             emb, threshold, nlist=nlist, n_assign=n_assign,
-            vectorized=vectorized,
+            vectorized=vectorized, quantizer=quantizer,
         ).select("doc_a", "doc_b"),
         algorithm="star",
     )

@@ -1326,3 +1326,67 @@ def test_pii_scrub_spans_preserves_interleaving(spark):
     # zero shuffle, zero Python in the plan
     p = pii_scrub_spans(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p and "Python" not in p
+
+
+def test_trainprep_semantic_imi_flag(spark, tmp_path):
+    """--semantic-imi (r7): the product-codebook quantizer drives the
+    semantic stage when nlist is set — the planted cosine-near pair is
+    still pruned to its min-id representative, and flipping the flag
+    is a different param lineage (stage re-runs)."""
+    import hashlib as _hashlib
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+    from run_trainprep import run_trainprep_job
+
+    kwargs = dict(min_quality=0.4, langs=("en",), jaccard_threshold=0.05)
+    base = run_trainprep_job(spark, SF_DIR, str(tmp_path / "base"), **kwargs)
+    survivors = sorted(
+        r.doc_id
+        for r in spark.read.parquet(str(tmp_path / "base" / "corpus"))
+        .select("doc_id")
+        .collect()
+    )
+    near_a, near_b = survivors[0], survivors[1]
+    inp = str(tmp_path / "inp")
+    spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).write.parquet(
+        os.path.join(inp, "documents.parquet")
+    )
+
+    def vec(doc_id) -> list[float]:
+        h = _hashlib.md5(str(doc_id).encode()).digest() * 4
+        return [float(b) - 127.5 for b in h[:64]]
+
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(inp, "documents.parquet"))
+        .select("doc_id")
+        .collect()
+    ]
+    rows = [
+        (d, [x + 0.01 for x in vec(near_a)] if d == near_b else vec(d))
+        for d in ids
+    ]
+    spark.createDataFrame(rows, "doc_id long, embedding array<float>").write.parquet(
+        os.path.join(inp, "embeddings.parquet")
+    )
+    out = str(tmp_path / "prep")
+    man = str(tmp_path / "man")
+    s = run_trainprep_job(
+        spark, inp, out, manifest_dir=man, run_id="imi",
+        semantic_dedup=True, semantic_nlist=16, semantic_imi=True, **kwargs,
+    )
+    assert s["semantic_pruned"] >= 1
+    prune = {
+        r.doc_id: r.sem_rep
+        for r in spark.read.parquet(
+            os.path.join(out, "semantic", "prune_map")
+        ).collect()
+    }
+    assert prune.get(near_b) == near_a  # min-id representative kept
+    # flag flip = new lineage: the stage re-runs instead of resuming
+    s2 = run_trainprep_job(
+        spark, inp, out, manifest_dir=man, run_id="imi",
+        semantic_dedup=True, semantic_nlist=16, semantic_imi=False, **kwargs,
+    )
+    assert "semantic_dedup" in s2["stages_run"]

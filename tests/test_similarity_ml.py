@@ -240,3 +240,65 @@ def test_semantic_empty_embeddings_no_crash(spark):
     assert semantic_pairs(empty, 0.9, nlist=16).count() == 0
     assert semantic_prune(empty, 0.9, nlist=16, n_assign=2).count() == 0
     assert semantic_prune(empty, 0.9, nlist=16).count() == 0
+
+
+def test_semantic_imi_quantizer_recall_and_cost_shape(spark):
+    """quantizer="imi" (r7): the product-codebook assignment preserves
+    the SemDeDup collision property — planted near-identical pairs
+    land in a shared cell and semantic_prune recalls them — while the
+    per-vector assignment work is O(G1+G2) ~ 2·sqrt(nlist) dot
+    products instead of nlist (the flat matmul's quadratic term under
+    nlist ∝ n sizing)."""
+    import numpy as np
+
+    from hocr_de_noising_spark.queries.similarity_ml import (
+        _assign_cells_imi,
+        semantic_prune,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    n, dim, nlist = 2000, 64, 256
+    base = rng.standard_normal((n, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    planted = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        if i % 10 == 0:  # 200 planted near-dups: tiny perturbation
+            p = v + 0.015 * rng.standard_normal(dim)
+            p /= np.linalg.norm(p)
+            rows.append((100000 + i, [float(x) for x in p]))
+            planted.append((i, 100000 + i))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    # determinism + id range of the raw assignment
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x AS double))").alias("v")
+    )
+    cells = {
+        r.vec_id: r.cell
+        for r in _assign_cells_imi(e, nlist, dim).collect()
+    }
+    assert min(cells.values()) >= 0 and len(cells) == len(rows)
+    # single-assignment collision is the PRODUCT of two per-codebook
+    # survival rates — lower than flat's single argmax by design; the
+    # scale path cures it with n_assign=2 exactly as the flat
+    # quantizer does (run_trainprep uses n_assign=2 whenever nlist is
+    # set). Pin the measured base rate so a regression is visible.
+    share = sum(cells[a] == cells[b] for a, b in planted)
+    assert share >= 0.65 * len(planted), f"{share}/{len(planted)}"
+
+    # end-to-end at the job's own setting (n_assign=2 -> top-2 per
+    # codebook, 4 OR-amplified cells): semantic_prune under imi
+    # recalls the planted pairs
+    prune = semantic_prune(emb, 0.98, nlist=nlist, n_assign=2, quantizer="imi")
+    rep = {r.vec_id: r.sem_rep for r in prune.collect()}
+    recalled = sum(
+        1 for a, b in planted
+        if rep.get(a, a) == rep.get(b, b)
+    )
+    assert recalled >= 0.9 * len(planted), f"{recalled}/{len(planted)}"
+    # unplanted vectors overwhelmingly keep themselves (no false mass)
+    self_reps = sum(1 for i, _ in enumerate(base) if rep.get(i, i) == i)
+    assert self_reps >= 0.97 * n

@@ -242,6 +242,7 @@ def run_trainprep_job(
     shard_budget: int | None = None,
     dsir_target_dir: str | None = None,
     dsir_keep: int | None = None,
+    dsir_fast_hash: bool = False,
     pack_seq_len: int | None = None,
 ) -> dict:
     """Compose scrub → gates → dedup → split; returns summary counts
@@ -310,6 +311,7 @@ def run_trainprep_job(
         shard_budget=shard_budget,
         dsir_target=dsir_target_dir if has_dsir else None,
         dsir_keep=dsir_keep if has_dsir else None,
+        dsir_fast_hash=dsir_fast_hash if has_dsir else None,
         pack_seq_len=pack_seq_len,
     )
     sr = StageRunner(
@@ -559,9 +561,12 @@ def run_trainprep_job(
                 )
                 pool = pool.join(prune.select("doc_id"), "doc_id", "left_anti")
             target = spark.read.parquet(dsir_target_dir)
-            dsir_importance(pool, target, top_k=dsir_keep).write.mode(
-                "overwrite"
-            ).parquet(dsir_sel_path)
+            # fast_hash: xxhash64 bucketing (~1.15x end-to-end at 1M,
+            # 1.6x on the hash stage) — a featurization choice, so it
+            # rides the param lineage like --semantic-imi
+            dsir_importance(
+                pool, target, top_k=dsir_keep, fast_hash=dsir_fast_hash
+            ).write.mode("overwrite").parquet(dsir_sel_path)
 
         sr.run("dsir_select", write_dsir, lambda: n_of(dsir_sel_path))
         dsir_summary = {"dsir_selected": n_of(dsir_sel_path)}
@@ -712,6 +717,10 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--dsir-keep", type=int, default=None,
                     help="number of docs the DSIR stage keeps (top-k by "
                          "hashed-n-gram log importance weight)")
+    ap.add_argument("--dsir-fast-hash", action="store_true",
+                    help="xxhash64 feature bucketing for the DSIR stage "
+                         "(faster; different hash family, selection may "
+                         "differ at the margin)")
     ap.add_argument("--pack-seq-len", type=int, default=None,
                     help="emit pack/manifest mapping the final corpus "
                          "onto fixed-length training sequences")
@@ -738,6 +747,7 @@ def main(argv: list[str] | None = None) -> None:
         shard_budget=args.shard_budget,
         dsir_target_dir=args.dsir_target,
         dsir_keep=args.dsir_keep,
+        dsir_fast_hash=args.dsir_fast_hash,
         pack_seq_len=args.pack_seq_len,
     )
     print(summary)

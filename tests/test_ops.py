@@ -1209,6 +1209,17 @@ def test_trainprep_dsir_stage(spark, tmp_path):
     )
     assert "dsir_select" in s3["stages_run"]
     assert s3["dsir_selected"] == 5 and s3["n_final"] == 5
+    # fast-hash flip is a different lineage: the stage re-runs (and on
+    # this planted corpus selects the same quantum docs)
+    s3b = run_trainprep_job(
+        spark, str(src), out, manifest_dir=man, run_id="ds",
+        **{**kwargs, "dsir_fast_hash": True},
+    )
+    assert "dsir_select" in s3b["stages_run"]
+    assert {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(out, "corpus")).collect()
+    } >= {0, 1, 2}
     # missing target table: loud warning, stage skipped, corpus whole
     s4 = run_trainprep_job(
         spark, str(src), str(tmp_path / "prep2"),

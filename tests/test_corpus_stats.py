@@ -343,3 +343,38 @@ def test_host_blocklist_join_path_agrees_with_literal(spark):
     assert lit == join
     assert lit["ads.example.com"] == (True, "ads.example.com")
     assert lit["x.ads.example.com"] == (True, "ads.example.com")
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    # randomized differential: the distributed manifest must equal an
+    # independent single-pass Python packer on 80 seeded random docs
+    import random
+
+    from hocr_de_noising_spark.queries.corpus_stats import pack_sequences
+
+    rng = random.Random(99)
+    rows = [
+        (i, " ".join("w" * rng.randint(1, 3) for _ in range(rng.randint(1, 70))))
+        for i in range(80)
+    ]
+    L = 13
+
+    def ref():
+        out, cum = [], 0
+        for i, t in rows:
+            n = len(t.split(" "))
+            off = 0
+            while off < n:
+                seq = (cum + off) // L
+                take = min(n - off, (seq + 1) * L - (cum + off))
+                out.append((seq, i, off, take))
+                off += take
+            cum += n
+        return sorted(out)
+
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = sorted(
+        (r["seq_id"], r["doc_id"], r["doc_offset"], r["n_tokens"])
+        for r in pack_sequences(df, L, bucket_width=7).collect()
+    )
+    assert got == ref()

@@ -5,8 +5,17 @@ oracle-checked registry stages:
   1. scrub          (text_scrub     — PII-shape masking, whitespace)
   2. quality gate   (quality_score  — length/alpha/stopword heuristics)
   3. language gate  (lang_id        — n-gram heuristic)
-  4. dedup          (jobs/run_dedup — exact → LSH → verify → components)
-  5. split          (sample_split   — leakage-free md5 assignment)
+  4. line dedup     (--line-dedup   — CCNet repeated-line strip)
+  5. dedup          (jobs/run_dedup — exact → LSH → verify → components)
+  6. decontaminate  (--decontaminate — train/eval 5-gram leakage report)
+  7. media dedup    (auto on media.parquet — exact + optional near-dup)
+  8. semantic dedup (--semantic-dedup — SemDeDup; --semantic-imi takes
+                     the O(sqrt(nlist)) product-quantizer assignment)
+  9. DSIR selection (--dsir-target/--dsir-keep — importance top-k
+                     toward a target corpus; --dsir-fast-hash)
+ 10. split + shard  (sample_split; --shard-budget equal-token shards)
+ 11. pack manifest  (--pack-seq-len — fixed-length training-sequence
+                     layout over the written corpus)
 
 Stage 1-3 output is MATERIALIZED to parquet (documents.parquet layout)
 and the dedup job runs against that directory — the same staging a

@@ -36,46 +36,51 @@ def entry(spark: SparkSession) -> DataFrame:
 # tests/test_ops.py against the same DuckDB comparison.
 
 # Keys rewritten/touched after the round whose CORRECTNESS file last
-# recorded them green (update each round):
-_CHANGED_SINCE_GREEN: list[str] = [
-    "decontaminate_overlap",  # r7: skew-proof stats+semi-join rewrite
-    "dedup_ngram_jaccard",  # r7: df cap via hot-list anti-join
-    "quality_boilerplate",  # r7: window-free complement formulation
-    "dedup_semantic",  # r7: block-local union-find replaces star rounds
-    "pii_scrub",  # r7: refactored through _pii_scrub_impl (strict knob)
-]
+# recorded them green (update each round). r8 is the optimization
+# round: every key whose physical plan is restructured goes here so the
+# driver re-verifies it first.
+_CHANGED_SINCE_GREEN: list[str] = []
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).
-# The 21 keys displaced by the r6 window (last green r5) lead round 7;
+# The 37 keys displaced by the r7 window (last green r6) lead round 8;
 # never-verified keys (e.g. new this round) sort before them at 0.
 _LAST_GREEN = dict.fromkeys(
-    [
-        "agg_approx_percentile", "agg_denoise_rate", "dedup_media_near",
-        "dedup_simhash", "garbage_ratio", "geom_outliers", "join_full",
-        "knn_bruteforce", "longs_normalize", "margin_envelope",
-        "reading_order", "scalar_array", "scalar_date", "scalar_json",
-        "scalar_string", "scalar_xml", "set_intersect", "tpch_q3",
-        "udaf_mad", "wconf_filter", "window_range_frame",
-    ],
-    5,
-) | dict.fromkeys(
     [
         "agg_approx_distinct", "agg_cube", "agg_dedup_first",
         "agg_distinct", "agg_grouping_sets", "agg_percentile",
         "agg_rollup", "ann_ivf_fixed", "ann_lsh_bucketed",
-        "decontaminate_overlap", "dedup_components",
-        "dedup_components_star", "dedup_embed_cosine", "dedup_exact",
-        "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_semantic",
-        "dict_join", "doc_fingerprint", "explode_spans", "join_anti",
-        "join_asof", "join_broadcast", "join_inner", "join_left",
-        "join_range", "join_semi", "lag_lead", "lang_id", "pii_scrub",
-        "project_filter", "quality_boilerplate", "quality_repetition",
-        "quality_score", "sample_split", "scalar_math", "scan_lineitem",
-        "set_except", "set_union", "sort_multikey", "stream_session",
-        "stream_tumbling", "text_scrub", "token_count", "topk_noisy",
-        "tpch_q1", "window_ntile", "window_rank", "window_running_sum",
+        "dedup_components", "dedup_components_star",
+        "dedup_embed_cosine", "dedup_exact", "dedup_minhash_lsh",
+        "dict_join", "doc_fingerprint", "join_anti", "join_asof",
+        "join_range", "lag_lead", "lang_id", "quality_repetition",
+        "quality_score", "sample_split", "scalar_math",
+        "set_except", "set_union", "sort_multikey",
+        "stream_session", "stream_tumbling", "text_scrub",
+        "token_count", "topk_noisy", "tpch_q1", "window_ntile",
+        "window_rank", "window_running_sum",
     ],
     6,
+) | dict.fromkeys(
+    [
+        "agg_approx_percentile", "agg_denoise_rate",
+        "bpe_pair_topk", "decontaminate_overlap", "dedup_lines",
+        "dedup_media_near", "dedup_ngram_jaccard", "dedup_semantic",
+        "dedup_simhash", "dsir_select", "explode_spans",
+        "garbage_ratio", "geom_outliers", "html_links",
+        "html_main_content", "html_main_content_dom",
+        "join_broadcast", "join_full", "join_inner", "join_left",
+        "join_semi", "knn_bruteforce", "link_domains_topk",
+        "longs_normalize", "margin_envelope", "media_caption_pair",
+        "media_text_ratio", "pack_sequences", "pii_scrub",
+        "pii_scrub_strict", "project_filter", "quality_boilerplate",
+        "quality_perplexity", "reading_order", "sample_stratified",
+        "scalar_array", "scalar_date", "scalar_json",
+        "scalar_string", "scalar_xml", "scan_lineitem",
+        "set_intersect", "shard_token_budget", "tpch_q3",
+        "udaf_mad", "url_canonicalize", "url_host_filter",
+        "vocab_topk", "wconf_filter", "window_range_frame",
+    ],
+    7,
 )
 
 

@@ -39,7 +39,21 @@ def entry(spark: SparkSession) -> DataFrame:
 # recorded them green (update each round). r8 is the optimization
 # round: every key whose physical plan is restructured goes here so the
 # driver re-verifies it first.
-_CHANGED_SINCE_GREEN: list[str] = []
+_CHANGED_SINCE_GREEN: list[str] = [
+    # r8 let_sql rewrite: split/char-array bound once per row instead
+    # of once per array element inside HOF lambdas (values unchanged,
+    # verified vs DuckDB by scripts/preflight_oracle.py this round)
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "doc_fingerprint",
+    "dedup_components",
+    "dedup_components_star",
+    "decontaminate_overlap",
+    "quality_repetition",
+    "dedup_lines",
+    "dedup_media_near",
+    "url_host_filter",
+]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).
 # The 37 keys displaced by the r7 window (last green r6) lead round 8;

@@ -40,7 +40,7 @@ import sys
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from hocr_de_noising_spark.queries.util import load, register
+from hocr_de_noising_spark.queries.util import let_sql, load, register
 
 LINE_TOKENS = 8  # synthetic line width (tokens) for the registry keys
 LINE_DF_CAP = 4  # a line present in more docs than this is boilerplate
@@ -168,10 +168,15 @@ def unigram_nll(
 
 def _spark_lined(spark: SparkSession, sf: str) -> DataFrame:
     t = load(spark, sf, "documents").filter(F.col("text").isNotNull())
+    # let-bound token array: split once per doc, not once per line
     content = F.expr(
-        f"transform(sequence(1, cast(ceil(size(split(text, ' ')) / {LINE_TOKENS}.0)"
-        f" as int)), i -> array_join(slice(split(text, ' '),"
-        f" (i-1)*{LINE_TOKENS}+1, {LINE_TOKENS}), ' '))"
+        let_sql(
+            "split(text, ' ')",
+            "t",
+            f"transform(sequence(1, cast(ceil(size(t) / {LINE_TOKENS}.0)"
+            f" as int)), i -> array_join(slice(t,"
+            f" (i-1)*{LINE_TOKENS}+1, {LINE_TOKENS}), ' '))",
+        )
     )
     lined = F.concat(
         F.expr(f"if(doc_id % 4 = 0, array('{_BP_HEAD}'), array())"),

@@ -65,7 +65,7 @@ from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from hocr_de_noising_spark.operators.multimodal import VSIG_SUM_TOL_PER_BAND
-from hocr_de_noising_spark.queries.util import load, register
+from hocr_de_noising_spark.queries.util import let_sql, load, register
 
 PSIG_PREFIX = 256  # payload units (bytes / chars) covered by the signature
 PSIG_BAND = 32  # units per band -> up to 8 bands
@@ -96,14 +96,18 @@ def psig_sql_expr(payload: str, q: int = PSIG_Q_TEXT) -> str:
     output)."""
     plen = f"least(length({payload}), {PSIG_PREFIX})"
     blen = f"least({PSIG_BAND}, {plen} - b * {PSIG_BAND})"
-    codes = (
-        f"transform(slice(split(substring({payload}, 1, {PSIG_PREFIX}), ''),"
-        f" b*{PSIG_BAND}+1, {blen}), c -> ascii(c))"
-    )
-    return (
+    # let-bound code-point array (r8): the band lambda referenced
+    # split(substring(payload)) directly, so the prefix was re-split
+    # (and re-ascii'd) once PER BAND — 16x. Binding the full code
+    # array once per row leaves each band a pure slice+sum.
+    codes = f"slice(cs, b*{PSIG_BAND}+1, {blen})"
+    return let_sql(
+        f"transform(split(substring({payload}, 1, {PSIG_PREFIX}), ''),"
+        f" c -> ascii(c))",
+        "cs",
         f"transform(sequence(0, (({plen}+{PSIG_BAND - 1}) div {PSIG_BAND}) - 1),"
         f" b -> cast(aggregate({codes}, 0, (acc, x) -> acc + x)"
-        f" div ({blen} * {q}) as int))"
+        f" div ({blen} * {q}) as int))",
     )
 
 

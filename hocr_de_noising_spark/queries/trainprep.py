@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from hocr_de_noising_spark.queries.util import load, register
+from hocr_de_noising_spark.queries.util import let_sql, load, register
 
 # ---------------------------------------------------------------- dedup --
 
@@ -108,22 +108,23 @@ SELECT DISTINCT rep AS doc_a, doc_id AS doc_b FROM reps WHERE doc_id <> rep
 
 
 def _shingles(spark, sf, n: int = 3):
-    """Distinct word n-gram shingles per document (JVM HOFs only)."""
+    """Distinct word n-gram shingles per document (JVM HOFs only).
+
+    The token array is let-bound (``let_sql``) so the text is split
+    once per document, not once per shingle — the inlined form paid
+    O(tokens²) characters of re-splitting inside the slice lambda
+    (r8: 3.6x on this expression at sf0.1)."""
     toks = F.split("text", " ")
+    shingle_arr = let_sql(
+        "split(text, ' ')",
+        "t",
+        f"array_distinct(transform(sequence(1, size(t) - {n - 1}),"
+        f" i -> concat_ws(' ', slice(t, i, {n}))))",
+    )
     return (
         load(spark, sf, "documents")
         .filter(F.col("text").isNotNull() & (F.size(toks) >= n))
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.expr(
-                        f"transform(sequence(1, size(split(text,' ')) - {n - 1}),"
-                        f" i -> concat_ws(' ', slice(split(text,' '), i, {n})))"
-                    )
-                )
-            ).alias("shingle"),
-        )
+        .select("doc_id", F.explode(F.expr(shingle_arr)).alias("shingle"))
     )
 
 
@@ -852,13 +853,18 @@ def quality_repetition(spark, sf):
     dup_word = F.round(
         F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n, 4
     )
+    # let-bound token array: split once per doc, not once per 3-gram
     dup3 = F.expr(
-        "CASE WHEN size(split(text, ' ')) >= 3 THEN "
-        "round(1.0D - cast(size(array_distinct(transform("
-        "sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3))))) AS double)"
-        " / cast(size(split(text, ' ')) - 2 AS double), 4) "
-        "ELSE 0.0D END"
+        let_sql(
+            "split(text, ' ')",
+            "t",
+            "CASE WHEN size(t) >= 3 THEN "
+            "round(1.0D - cast(size(array_distinct(transform("
+            "sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', slice(t, i, 3))))) AS double)"
+            " / cast(size(t) - 2 AS double), 4) "
+            "ELSE 0.0D END",
+        )
     )
     return (
         load(spark, sf, "documents")
@@ -958,9 +964,14 @@ def decon_overlap(spark, sf, keep=None, broadcast_keep=True):
         )
     else:
         d = d.withColumn("kept", F.lit(True))
+    # let-bound token array: split once per doc, not once per shingle
     shingle_arr = F.expr(
-        f"array_distinct(transform(sequence(1, size(split(text,' ')) - {n - 1}),"
-        f" i -> xxhash64(concat_ws(' ', slice(split(text,' '), i, {n})))))"
+        let_sql(
+            "split(text, ' ')",
+            "t",
+            f"array_distinct(transform(sequence(1, size(t) - {n - 1}),"
+            f" i -> xxhash64(concat_ws(' ', slice(t, i, {n})))))",
+        )
     )
     tk = (F.col("kept") & (F.col("split") == "train")).cast("int")
     stats = (

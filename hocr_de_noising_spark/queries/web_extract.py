@@ -37,7 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from hocr_de_noising_spark.queries.util import load, register
+from hocr_de_noising_spark.queries.util import let_sql, load, register
 
 MIN_WORDS = 8  # Boilerpipe's "number of words" rule threshold
 # link density <= 1/3, kept as integer math: lw * 3 <= nw
@@ -503,10 +503,15 @@ _BLOCKLIST = ("spam-net.com", "ads.site3.com", "site7.org")
 def host_suffixes(host):
     """Column: all dot-boundary suffixes of a hostname, most-specific
     first (e.g. a.b.com -> [a.b.com, b.com, com])."""
+    # let-bound label array: split the host once per row, not three
+    # times per suffix inside the lambda (util.let_sql)
     return F.expr(
-        f"transform(sequence(0, size(split({host}, '\\\\.')) - 1), "
-        f"i -> array_join(slice(split({host}, '\\\\.'), i + 1, "
-        f"size(split({host}, '\\\\.')) - i), '.'))"
+        let_sql(
+            f"split({host}, '\\\\.')",
+            "hs",
+            "transform(sequence(0, size(hs) - 1), "
+            "i -> array_join(slice(hs, i + 1, size(hs) - i), '.'))",
+        )
     )
 
 

@@ -89,7 +89,14 @@ def _fuzzy_membership_udf(lex_tokens):
             mask = s.notna()
             out = pd.Series(False, index=s.index, dtype="boolean")
             if mask.any():
-                out.loc[mask] = [lex.within_one(t) for t in s[mask]]
+                # dedupe before the index probe (r8): OCR tokens repeat
+                # heavily within a batch and within_one() generates the
+                # full deletion neighborhood per call — probe each
+                # DISTINCT token once and broadcast via isin (the
+                # rules_vec batch engine's own shape)
+                vals = s[mask]
+                hits = {t for t in vals.unique() if lex.within_one(t)}
+                out.loc[mask] = vals.isin(hits)
             yield out
 
     return fuzzy

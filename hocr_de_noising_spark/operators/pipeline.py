@@ -31,8 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from hocr_de_noising_spark.operators.assemble import (
-    reassemble,
-    with_output_order,
+    reassemble_ordered,
     with_survival,
 )
 from hocr_de_noising_spark.operators.features import (
@@ -88,8 +87,11 @@ def denoise_exploded(
     ex = with_geom_flags(ex, params=p)
     ex = with_noise_decision(ex, params=p)
     ex = with_survival(ex, params=p)
-    ex = with_output_order(ex)
-    return reassemble(ex)
+    # ordering + reassembly fused into one aggregation (r8): the two
+    # per-doc ordering windows (two WindowExec sorts over every span
+    # row) collapse into in-array sorts/scans inside the collect —
+    # see assemble.reassemble_ordered
+    return reassemble_ordered(ex)
 
 
 def denoise_hybrid(
@@ -142,19 +144,33 @@ def denoise_fused(
         else docs.sparkSession.sparkContext.broadcast(list(lexicon_tokens or []))
     )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from hocr_de_noising_spark.rules_vec import denoise_batch
+    if vectorized:
+        # Arrow-native boundary (r8, guide §4.2): spans are read flat
+        # off the list array's offset/value buffers and the output list
+        # array is rebuilt from flat survivor columns — no per-span
+        # Python dicts in either direction (the mapInPandas form built
+        # ~n_spans dicts on ingest AND emit per batch, the dominant
+        # Python cost at 200k docs). Explicit select: Spark cannot see
+        # which columns an opaque map touches, so project before it.
+        def run_arrow(batches):
+            from hocr_de_noising_spark.rules_vec import denoise_arrow_batch
 
+            lex = Lexicon(bc.value) if p.use_dictionary else None
+            for rb in batches:
+                yield denoise_arrow_batch(rb, p, lex)
+
+        return docs.select("doc_id", "spans").mapInArrow(
+            run_arrow, schema=OUT_SCHEMA
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         lex = Lexicon(bc.value) if p.use_dictionary else None
         for pdf in batches:
             ids = pdf["doc_id"].tolist()
             spans_lists = [
                 list(s) if s is not None else [] for s in pdf["spans"]
             ]
-            if vectorized:
-                out_spans = denoise_batch(ids, spans_lists, p, lex)
-            else:
-                out_spans = [denoise_doc(s, p, lex) for s in spans_lists]
+            out_spans = [denoise_doc(s, p, lex) for s in spans_lists]
             yield pd.DataFrame({"doc_id": ids, "spans": out_spans})
 
     return docs.mapInPandas(run, schema=OUT_SCHEMA)

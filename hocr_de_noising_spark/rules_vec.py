@@ -90,8 +90,8 @@ def denoise_batch(
     doc_ids: list, spans_lists: list, params: Params, lexicon: Lexicon | None
 ) -> list[list[dict]]:
     """De-noise a batch of documents; returns output span lists aligned
-    with the input doc order."""
-    p = params
+    with the input doc order (the list-of-dicts reference surface; the
+    Spark fused path goes through :func:`denoise_arrow_batch`)."""
     n_docs = len(doc_ids)
     didx, pos, kind, text, media_ref = [], [], [], [], []
     for d, spans in enumerate(spans_lists):
@@ -104,10 +104,129 @@ def denoise_batch(
     if not didx:
         return [[] for _ in range(n_docs)]
 
+    out_df = _denoise_flat(
+        np.asarray(didx, dtype=np.int64),
+        np.asarray(pos, dtype=np.int64),
+        kind,
+        text,
+        media_ref,
+        params,
+        lexicon,
+    )
+
+    results: list[list[dict]] = [[] for _ in range(n_docs)]
+    for d, kd, txt, mref in zip(
+        out_df["didx"].to_numpy(),
+        out_df["kind"].to_numpy(),
+        out_df["text"].to_numpy(),
+        out_df["media_ref"].to_numpy(),
+    ):
+        spans_out = results[d]
+        spans_out.append(
+            {
+                "kind": kd,
+                "text": None if txt is None or txt != txt else txt,
+                "media_ref": None if mref is None or mref != mref else mref,
+                "offset": len(spans_out),
+            }
+        )
+    return results
+
+
+def denoise_arrow_batch(rb, params: Params, lexicon: Lexicon | None):
+    """De-noise one Arrow record batch of (doc_id, spans) rows and
+    return the output record batch — the zero-dict boundary the fused
+    operator runs per ``mapInArrow`` batch (r8, guide §4.2 shape).
+
+    The span columns are read FLAT off the list array's offsets/values
+    buffers (no per-span Python dicts on ingest) and the output list
+    array is rebuilt from the flat survivor columns + a bincount of
+    per-doc lengths (no per-span dict building on emit); the vectorized
+    rule itself (:func:`_denoise_flat`) is byte-identical to the
+    mapInPandas form (property-tested vs rules_np and the goldens)."""
+    import pyarrow as pa
+
+    doc_arr = rb.column(rb.schema.get_field_index("doc_id"))
+    spans_arr = rb.column(rb.schema.get_field_index("spans"))
+    n_docs = len(doc_arr)
+    offs = spans_arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    # values is the UNSLICED child array: positions offs[0]..offs[-1]
+    # cover this batch's lists contiguously (offsets are monotone)
+    vals = spans_arr.values.slice(int(offs[0]), int(offs[-1] - offs[0]))
+    offs = offs - offs[0]
+    starts = offs[:-1]
+    lengths = np.diff(offs)
+    total = int(offs[-1])
+
+    out_type = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    if total == 0:
+        spans_out = pa.ListArray.from_arrays(
+            pa.array(np.zeros(n_docs + 1, dtype=np.int32), type=pa.int32()),
+            pa.array([], type=out_type),
+        )
+        return pa.RecordBatch.from_arrays(
+            [doc_arr, spans_out], names=["doc_id", "spans"]
+        )
+
+    didx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    pos = np.arange(total, dtype=np.int64) - starts[didx]
+    out_df = _denoise_flat(
+        didx,
+        pos,
+        vals.field("kind").to_pandas(),
+        vals.field("text").to_pandas(),
+        vals.field("media_ref").to_pandas(),
+        params,
+        lexicon,
+    )
+
+    out_didx = out_df["didx"].to_numpy()  # ascending (sorted by didx)
+    counts = np.bincount(out_didx, minlength=n_docs)
+    out_offs = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(counts, out=out_offs[1:])
+    within = np.arange(len(out_didx), dtype=np.int64) - out_offs[:-1][out_didx]
+    struct_out = pa.StructArray.from_arrays(
+        [
+            pa.Array.from_pandas(out_df["kind"], type=pa.string()),
+            pa.Array.from_pandas(out_df["text"], type=pa.string()),
+            pa.Array.from_pandas(out_df["media_ref"], type=pa.string()),
+            pa.array(within.astype(np.int32), type=pa.int32()),
+        ],
+        names=["kind", "text", "media_ref", "offset"],
+    )
+    spans_out = pa.ListArray.from_arrays(
+        pa.array(out_offs.astype(np.int32), type=pa.int32()), struct_out
+    )
+    return pa.RecordBatch.from_arrays(
+        [doc_arr, spans_out], names=["doc_id", "spans"]
+    )
+
+
+def _denoise_flat(
+    didx: np.ndarray,
+    pos: np.ndarray,
+    kind,
+    text,
+    media_ref,
+    params: Params,
+    lexicon: Lexicon | None,
+) -> pd.DataFrame:
+    """The vectorized rule over flat span columns. Returns the SURVIVING
+    spans as a DataFrame (didx, kind, text, media_ref) sorted in final
+    emission order — (didx, anchor, text-before-media, input pos) — so
+    callers assign contiguous offsets by enumeration order."""
+    p = params
     df = pd.DataFrame(
         {
-            "didx": np.asarray(didx, dtype=np.int64),
-            "pos": np.asarray(pos, dtype=np.int64),
+            "didx": didx,
+            "pos": pos,
             "kind": kind,
             "text": text,
             "media_ref": media_ref,
@@ -257,22 +376,4 @@ def denoise_batch(
             "media_ref": df["media_ref"],
         }
     )[pd.Series(survives & df["kind"].notna().to_numpy(), index=df.index)]
-    out_df = out_df.sort_values(["didx", "k1", "k2", "pos"])
-
-    results: list[list[dict]] = [[] for _ in range(n_docs)]
-    for d, kd, txt, mref in zip(
-        out_df["didx"].to_numpy(),
-        out_df["kind"].to_numpy(),
-        out_df["text"].to_numpy(),
-        out_df["media_ref"].to_numpy(),
-    ):
-        spans_out = results[d]
-        spans_out.append(
-            {
-                "kind": kd,
-                "text": None if txt is None or txt != txt else txt,
-                "media_ref": None if mref is None or mref != mref else mref,
-                "offset": len(spans_out),
-            }
-        )
-    return results
+    return out_df.sort_values(["didx", "k1", "k2", "pos"])

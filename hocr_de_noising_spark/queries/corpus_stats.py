@@ -496,7 +496,14 @@ def sample_stratified(
     for s, f in sorted(fracs.items()):
         c = (F.col(strata_col) == s) & (h < thresh(f))
         expr = c if expr is None else expr | c
-    others = ~F.col(strata_col).isin(list(fracs)) & (h < thresh(default_frac))
+    # NULL strata must take the default bucket explicitly (ADVICE r7):
+    # `~isin(...)` evaluates NULL for a NULL stratum, which filter()
+    # rejects — while the SQL oracle's CASE falls through to its ELSE
+    # default branch and can keep the row. coalesce(..., True) gives
+    # the engines identical semantics.
+    others = F.coalesce(
+        ~F.col(strata_col).isin(list(fracs)), F.lit(True)
+    ) & (h < thresh(default_frac))
     return df.filter((expr | others) if expr is not None else others)
 
 

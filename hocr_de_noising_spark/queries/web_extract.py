@@ -81,7 +81,7 @@ def _words_of(t: str) -> str:
     return f"(CASE WHEN {t} = '' THEN 0 ELSE size(split({t}, ' ')) END)"
 
 
-def _spark_stats_expr() -> str:
+def _spark_stats_expr(bs_col: str = "bs") -> str:
     """blocks -> array<struct<txt,nw,lw>> in Spark SQL (JVM HOFs)."""
     txt = _txt_of("b", "")
     link_words = (
@@ -89,7 +89,7 @@ def _spark_stats_expr() -> str:
         f"(acc, a) -> acc + {_words_of(_txt_of('a', ''))})"
     )
     return (
-        f"transform(transform(bs, b -> struct({txt} AS txt, "
+        f"transform(transform({bs_col}, b -> struct({txt} AS txt, "
         f"{link_words} AS lw)), s -> struct(s.txt AS txt, s.lw AS lw, "
         f"{_words_of('s.txt')} AS nw))"
     )
@@ -130,19 +130,24 @@ def extract_main_content(
         for t in _UNLIKELY_TAGS:
             scrubbed = F.regexp_replace(scrubbed, _unlikely_pat(t), " ")
     bs = F.split(scrubbed, _BLOCK_SPLIT)
+    # collision-unlikely staging names (ADVICE r7): an input frame that
+    # already carries `bs` or `stats` would have been silently
+    # clobbered and dropped from the output
     return (
-        df.withColumn("bs", bs)
-        .withColumn("stats", F.expr(_spark_stats_expr()))
+        df.withColumn("_emc_bs", bs)
+        .withColumn("_emc_stats", F.expr(_spark_stats_expr("_emc_bs")))
         .select(
             *df.columns,
             F.expr(
-                f"array_join(transform(filter(stats, {_KEEP}), "
+                f"array_join(transform(filter(_emc_stats, {_KEEP}), "
                 f"s -> s.txt), '\\n')"
             ).alias("main_text"),
-            F.expr("size(filter(stats, s -> s.nw > 0))")
+            F.expr("size(filter(_emc_stats, s -> s.nw > 0))")
             .cast("int")
             .alias("n_blocks"),
-            F.expr(f"size(filter(stats, {_KEEP}))").cast("int").alias("n_kept"),
+            F.expr(f"size(filter(_emc_stats, {_KEEP}))")
+            .cast("int")
+            .alias("n_kept"),
         )
     )
 
@@ -545,7 +550,15 @@ def filter_blocked_hosts_join(
     single ``entry`` string column. Returns the input plus (blocked,
     block_rule); when several entries match, the longest (most
     specific) wins — same tie rule as the literal path."""
-    with_id = df.withColumn("_rid", F.monotonically_increasing_id())
+    # localCheckpoint before the fan-out (ADVICE r7): _rid is
+    # non-deterministic, and the exploded-suffix branch and the final
+    # left join would otherwise each recompute it — a task retry or
+    # speculative copy could assign DIFFERENT ids to the same row
+    # across branches, silently mislabeling blocked/block_rule (the
+    # remap_media_refs pattern)
+    with_id = df.withColumn(
+        "_rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=False)
     sufs = with_id.select(
         "_rid", F.explode(host_suffixes(host_col)).alias("suf")
     )

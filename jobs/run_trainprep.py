@@ -293,6 +293,16 @@ def run_trainprep_job(
     # DSIR selection follows the semantic rule: explicitly requested,
     # so a missing target table must be loud, never a silent no-op
     has_dsir = bool(dsir_target_dir) and bool(dsir_keep)
+    if bool(dsir_target_dir) != bool(dsir_keep):
+        # half-specified request (ADVICE r7): --dsir-target without
+        # --dsir-keep (or keep=0) silently skipped the stage while the
+        # warning below only covered the missing-directory case
+        print(
+            "WARNING: DSIR selection needs BOTH --dsir-target and a "
+            "positive --dsir-keep; only one was provided, so the DSIR "
+            "stage is SKIPPED and the corpus is unselected",
+            file=sys.stderr,
+        )
     if dsir_target_dir and not os.path.exists(dsir_target_dir):
         print(
             f"WARNING: --dsir-target {dsir_target_dir} does not exist; "
@@ -661,8 +671,12 @@ def run_trainprep_job(
         "n_after_gates": n_filtered,
         "n_final": n_final,
         "gated_out": n_in - n_filtered,
+        # dedup_removed comes from the dedup stage's OWN keeper count
+        # (ADVICE r7: the n_final form also absorbed semantic-pruned
+        # and DSIR-deselected docs); selection_removed carries those
         "dedup_removed": line_summary.get("n_after_line_dedup", n_filtered)
-        - n_final,
+        - dedup_summary["keepers"],
+        "selection_removed": dedup_summary["keepers"] - n_final,
         **line_summary,
         "dedup": dedup_summary,
         **sem_summary,

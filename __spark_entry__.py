@@ -53,6 +53,15 @@ _CHANGED_SINCE_GREEN: list[str] = [
     "dedup_lines",
     "dedup_media_near",
     "url_host_filter",
+    # r8 single-buffer percentile aggregates (array of percentages)
+    "agg_percentile",
+    "agg_approx_percentile",
+    "margin_envelope",
+    # r8 NULL-strata default-bucket fix (ADVICE r7)
+    "sample_stratified",
+    # r8 collision-proof staging names in extract_main_content
+    "html_main_content",
+    "html_main_content_dom",
 ]
 
 # last round with a green driver row per key (from CORRECTNESS_r{N}.json).

@@ -60,10 +60,17 @@ def geom_outliers(spark, sf):
 def margin_envelope(spark, sf):
     """X3 pattern: p5–p95 envelope + tolerance containment count."""
     w = Window.partitionBy("l_returnflag")
+    # ONE window percentile with an array of cut points (r8): two
+    # separate percentile() window expressions each buffered and
+    # sorted the full per-group value list (the agg_percentile fix)
     df = (
         load(spark, sf, "lineitem")
-        .withColumn("p_lo", F.expr("percentile(l_extendedprice, 0.05)").over(w))
-        .withColumn("p_hi", F.expr("percentile(l_extendedprice, 0.95)").over(w))
+        .withColumn(
+            "ps",
+            F.expr("percentile(l_extendedprice, array(0.05D, 0.95D))").over(w),
+        )
+        .withColumn("p_lo", F.element_at("ps", 1))
+        .withColumn("p_hi", F.element_at("ps", 2))
     )
     outside = F.when(
         (F.col("l_extendedprice") < F.col("p_lo") - 100)

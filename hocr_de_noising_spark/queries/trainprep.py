@@ -372,31 +372,48 @@ def dedup_ngram_jaccard(spark, sf):
     intersection counts come from in-array pair combinations
     (<= C(df_cap, 2) per shingle) after ONE groupBy, with no shingle
     self-join at all (a self-join would also re-execute the shingle
-    subtree once per side)."""
+    subtree once per side).
+
+    r8 shape: the set sizes ride WITH each doc's shingle rows into the
+    per-shingle collect (one doc_id-keyed join right after the size
+    aggregate), so the final jaccard needs NO joins at all — the
+    previous form joined the pair table against two aliases of the
+    size table, and Catalyst re-derived the whole shingle subtree for
+    each alias (12 exchanges -> 5). The raw hashed-shingle stream is
+    already localCheckpointed inside ``capped_from_hashed`` — the
+    expensive explode+hash runs once and only the cheap hot-list
+    aggregate re-runs per consumer (a second corpus-scale checkpoint
+    of the capped stream would double executor storage at scale). n
+    is functionally dependent on doc_id, so grouping pairs by (doc,
+    n) pairs is the same grouping; output values unchanged
+    (oracle-verified)."""
     sh = capped_shingles(spark, sf, 3)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    inter = (
-        sh.groupBy("shingle")
-        .agg(F.collect_list("doc_id").alias("ids"))
+    shn = sh.join(sizes, "doc_id")
+    j = (
+        shn.groupBy("shingle")
+        .agg(
+            F.collect_list(F.struct("doc_id", "n")).alias("ids")
+        )
         .select(
             F.explode(
                 F.expr(
                     "filter(flatten(transform(ids, x -> transform(ids,"
-                    " y -> struct(x AS a, y AS b)))), p -> p.a < p.b)"
+                    " y -> struct(x AS a, y AS b)))),"
+                    " p -> p.a.doc_id < p.b.doc_id)"
                 )
             ).alias("p")
         )
-        .groupBy(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
+        .groupBy(
+            F.col("p.a.doc_id").alias("doc_a"),
+            F.col("p.a.n").alias("na"),
+            F.col("p.b.doc_id").alias("doc_b"),
+            F.col("p.b.n").alias("nb"),
+        )
         .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    j = (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .withColumn(
             "jac",
-            F.col("i").cast("double") / (F.col("sa.n") + F.col("sb.n") - F.col("i")),
+            F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
         )
         .filter(F.col("jac") >= 0.2)
     )

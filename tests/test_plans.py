@@ -226,15 +226,20 @@ def test_r6_text_keys_plan_shape(spark):
 
 def test_r7_corpus_stats_plan_shape(spark):
     """dedup_lines: line df from hash aggregates (map-side partials),
-    hot-list removal via BROADCAST anti-join, NO window-by-line — the
-    r6 shingle-skew class is structurally excluded. url_canonicalize:
-    pure map-side projection (no exchange/join/Python).
-    quality_perplexity: vocab reaches the token stream by broadcast;
-    vocab_topk's k-cut is a TakeOrdered, not a global sort."""
+    hot-list removal via a BROADCAST join (r8: LEFT join carrying a
+    hot FLAG into conditional aggregates — one stream, no base-scan
+    resurrection join), NO window-by-line — the r6 shingle-skew class
+    is structurally excluded. url_canonicalize: pure map-side
+    projection (no exchange/join/Python). quality_perplexity: vocab
+    reaches the token stream by broadcast; vocab_topk's k-cut is a
+    TakeOrdered, not a global sort."""
     dl = QUERIES["dedup_lines"]["fn"](spark, SF)
     p = plan_str(dl)
     assert "Window" not in p and "CartesianProduct" not in p, p
-    assert "BroadcastHashJoin" in p and "LeftAnti" in p, p
+    assert "BroadcastHashJoin" in p and "LeftOuter" in p, p
+    # exactly ONE join: the hot-flag attach — the r7 shape's second
+    # (base-resurrection) join is gone
+    assert p.count("BroadcastHashJoin") == 1 and "SortMergeJoin" not in p, p
     assert "partial_count" in p, p
     uc = QUERIES["url_canonicalize"]["fn"](spark, SF)
     pu = plan_str(uc)

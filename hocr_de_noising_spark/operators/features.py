@@ -22,9 +22,21 @@ from hocr_de_noising_spark.params import Params
 
 
 def with_doc_stats(df: DataFrame, doc_col: str = "doc_id", params: Params | None = None) -> DataFrame:
-    """Per-document robust page statistics (X2/X3) via a single window."""
+    """Per-document robust page statistics (X2/X3) via a single window.
+
+    The window carries an ORDER BY pos with an unbounded frame (r8):
+    the aggregate values are identical to the order-less form (the
+    frame spans the whole partition), but the required child ordering
+    becomes (doc_id, pos) — exactly what the downstream media-anchor
+    running count (assemble.reassemble_ordered) needs, so Catalyst
+    plans ONE sort feeding both WindowExecs instead of sorting the
+    full exploded span stream twice."""
     p = params or Params()
-    w = Window.partitionBy(doc_col)
+    w = (
+        Window.partitionBy(doc_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
     lo, hi = p.envelope_lo_pct, p.envelope_hi_pct
     df = df.withColumn("h", (F.col("y1") - F.col("y0")).cast("double"))
     df = df.withColumn("w_px", (F.col("x1") - F.col("x0")).cast("double"))

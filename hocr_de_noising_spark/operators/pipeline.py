@@ -1,17 +1,22 @@
 """The flagship de-noising pipeline — three variants, one semantic.
 
 ``denoise_exploded`` (SURVEY.md §4.3 variant b): fully declarative
-Catalyst plan — posexplode → parse (regexp, codegen) → one per-doc
-window shuffle for page stats → flag columns → broadcast lexicon join →
-iterator pandas UDF for the edit-distance tail → three more per-doc
-windows (no new shuffle; same hash partitioning) → groupBy reassembly.
-Exactly ONE wide shuffle end-to-end; everything else is map-side.
+Catalyst plan — posexplode → parse (regexp, codegen) → broadcast
+lexicon join + iterator pandas UDF for the edit-distance tail
+(map-side) → ONE per-doc shuffle feeding a single (doc_id, pos) sort
+shared by the page-stats window and the media-anchor running count
+(r8: two window sorts collapsed into one via an ordered unbounded
+frame) → flag columns → groupBy reassembly with reading order and
+anchoring computed in-array (assemble.reassemble_ordered). Exactly
+ONE wide shuffle and ONE sort end-to-end; everything else is
+map-side.
 
-``denoise_fused`` (variant a): a single ``mapInPandas`` pass running
-the vectorized batch rule (rules_vec) — zero shuffles (docs are rows;
-doc-atomicity is free). Arrow-batched, batch size bounded via
-spark.sql.execution.arrow.maxRecordsPerBatch so one giant document
-cannot blow a batch.
+``denoise_fused`` (variant a): a single ``mapInArrow`` pass running
+the vectorized batch rule (rules_vec.denoise_arrow_batch) — zero
+shuffles, zero per-span Python objects at the boundary (spans are
+read flat off the Arrow list buffers; r8). Batch size bounded via
+spark.sql.execution.arrow.maxRecordsPerBatch / maxBytesPerBatch so
+one giant document cannot blow a batch.
 
 ``denoise_hybrid`` (production default): fused for normal docs, with
 pathological giants routed to the exploded JVM path (skew defusal).

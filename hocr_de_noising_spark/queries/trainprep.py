@@ -379,7 +379,7 @@ def dedup_ngram_jaccard(spark, sf):
     aggregate), so the final jaccard needs NO joins at all — the
     previous form joined the pair table against two aliases of the
     size table, and Catalyst re-derived the whole shingle subtree for
-    each alias (12 exchanges -> 5). The raw hashed-shingle stream is
+    each alias (7 exchanges -> 5, 5 joins -> 3 in the formatted plan). The raw hashed-shingle stream is
     already localCheckpointed inside ``capped_from_hashed`` — the
     expensive explode+hash runs once and only the cheap hot-list
     aggregate re-runs per consumer (a second corpus-scale checkpoint

@@ -55,7 +55,10 @@ def with_dictionary_check(
     df = df.withColumn("f_exact_hit", F.col("lex_token").isNotNull()).drop("lex_token")
 
     if p.max_edit_distance >= 1:
-        tokens = [r.token for r in lexicon_df.select("token").distinct().collect()]
+        # no distinct(): the collect runs INSIDE the caller's timed
+        # region per query, a distinct adds a shuffle job for nothing —
+        # Lexicon dedups via set(tokens) (r8)
+        tokens = [r.token for r in lexicon_df.select("token").collect()]
         bc = df.sparkSession.sparkContext.broadcast(tokens)
         fuzzy = _fuzzy_membership_udf(bc)
         oov = F.when(F.col("parse_ok") & ~F.col("f_exact_hit"), F.col("norm_token"))
